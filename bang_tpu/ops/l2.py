@@ -1,0 +1,52 @@
+"""Exact squared-L2 distance ops (MXU path).
+
+TPU-native re-design of the reference's exact-distance kernels
+(`compute_neighborDist_par` exact variant, BANG_Exactdistance/parANN.cu:
+1139-1179, and the re-rank `compute_L2Dist`, BANG_Base/bang_search.cu:
+1254-1299): instead of 8-thread warp reductions per neighbor, distances are
+computed for all (query, candidate) pairs at once via the norm expansion
+||v||^2 - 2 q.v + ||q||^2, whose cross term is a batched matmul on the MXU.
+Candidate squared norms are precomputed once per index load.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def squared_norms(vectors: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
+    """[N] f32 squared norms of the dataset (precomputed at load)."""
+    v = vectors.astype(jnp.float32)
+    return (v * v).sum(-1)
+
+
+def l2_distance_to_candidates(
+    queries: jnp.ndarray,
+    cand_vectors: jnp.ndarray,
+    cand_norms: jnp.ndarray | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Squared L2 of each query to its own candidate rows.
+
+    queries: [Q, D] f32; cand_vectors: [Q, C, D] (any dtype, cast to f32);
+    cand_norms: [Q, C] f32 precomputed ||v||^2, or None to compute here.
+    precision: lax.Precision for the cross term — HIGHEST by default (exact
+    distances must rank correctly); traversal-only callers may relax it.
+    Returns [Q, C] f32.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    q = queries.astype(jnp.float32)
+    v = cand_vectors.astype(jnp.float32)
+    if cand_norms is None:
+        cand_norms = (v * v).sum(-1)
+    cross = jnp.einsum(
+        "qd,qcd->qc",
+        q,
+        v,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    q_norms = (q * q).sum(-1, keepdims=True)
+    return jnp.maximum(cand_norms - 2.0 * cross + q_norms, 0.0)

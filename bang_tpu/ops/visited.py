@@ -1,0 +1,31 @@
+"""Exact visited-set filtering (TPU-native alternative to the bloom filter).
+
+The reference's visited set is a per-query bloom filter because random-access
+bit arrays are cheap per CUDA thread. On TPU, the natural dedup is a dense
+vectorized membership test: a candidate is new iff it appears in neither the
+current worklist nor the list of already-expanded parents. This has zero
+false positives (slightly better recall than bloom at equal work) and turns
+scatter/gather into VPU compares that XLA fuses into a single reduction.
+
+A node that entered the worklist but was evicted before being expanded may
+re-enter later; that wastes a worklist slot but is semantically harmless (the
+reference's bloom filter instead blocks re-entry). Both modes are provided;
+see SearchParams.visited_mode.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def exact_new_mask(
+    cand_ids: jnp.ndarray, wl_ids: jnp.ndarray, visited_ids: jnp.ndarray
+) -> jnp.ndarray:
+    """new[q, r] = cand not in worklist and not among expanded parents.
+
+    cand_ids: [Q, R] i32; wl_ids: [Q, L] i32; visited_ids: [Q, MI] i32
+    (INVALID_ID padding never matches valid candidates).
+    """
+    in_wl = (cand_ids[:, :, None] == wl_ids[:, None, :]).any(-1)
+    in_vis = (cand_ids[:, :, None] == visited_ids[:, None, :]).any(-1)
+    return ~(in_wl | in_vis)

@@ -1,0 +1,175 @@
+"""Unit tests for the ops layer against pure-numpy oracles (SURVEY.md §4:
+the test pyramid the reference lacks — PQ tables, bloom, merge, top-k)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bang_tpu.constants import INVALID_ID
+from bang_tpu.formats import synthetic
+from bang_tpu.ops.bloom import bloom_insert, bloom_query
+from bang_tpu.ops.l2 import l2_distance_to_candidates
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.pq import prepare_pq_codebook, pq_distance_tables, pq_lookup
+from bang_tpu.ops.visited import exact_new_mask
+
+
+def pq_tables_oracle(pivots, centroid, offsets, queries):
+    q, m = queries.shape[0], len(offsets) - 1
+    out = np.zeros((q, m, 256), np.float32)
+    adj = queries.astype(np.float32) - centroid
+    for c in range(m):
+        lo, hi = int(offsets[c]), int(offsets[c + 1])
+        diff = pivots[None, :, lo:hi] - adj[:, None, lo:hi]
+        out[:, c, :] = (diff * diff).sum(-1)
+    return out
+
+
+@pytest.mark.parametrize("d,m", [(24, 6), (13, 5), (8, 8)])
+def test_pq_distance_tables(d, m):
+    rng = np.random.default_rng(0)
+    pivots = rng.normal(size=(256, d)).astype(np.float32)
+    centroid = rng.normal(size=d).astype(np.float32)
+    offsets = synthetic.default_chunk_offsets(d, m)
+    queries = rng.normal(size=(9, d)).astype(np.float32)
+
+    cb = prepare_pq_codebook(pivots, centroid, offsets)
+    got = np.asarray(pq_distance_tables(cb, jnp.asarray(queries)))
+    want = pq_tables_oracle(pivots, centroid, offsets, queries)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pq_lookup():
+    rng = np.random.default_rng(1)
+    q, r, m = 5, 7, 6
+    tables = rng.normal(size=(q, m, 256)).astype(np.float32)
+    codes = rng.integers(0, 256, size=(q, r, m)).astype(np.uint8)
+    got = np.asarray(pq_lookup(jnp.asarray(tables), jnp.asarray(codes)))
+    want = np.zeros((q, r), np.float32)
+    for i in range(q):
+        for j in range(r):
+            want[i, j] = sum(tables[i, c, codes[i, j, c]] for c in range(m))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pq_approximates_exact_distance():
+    """Property: PQ distance ≈ exact distance on clustered data (SURVEY §7.2)."""
+    rng = np.random.default_rng(2)
+    data = synthetic.make_clustered_data(2000, 32, n_clusters=16, seed=7)
+    pq = synthetic.train_pq(data, m=16, seed=7)
+    codes = synthetic.encode_pq(data, pq)
+    queries = data[rng.integers(0, 2000, 20)].astype(np.float32)
+
+    cb = prepare_pq_codebook(pq.pivots, pq.centroid, pq.chunk_offsets)
+    tables = pq_distance_tables(cb, jnp.asarray(queries))
+    cand = jnp.asarray(np.tile(rng.integers(0, 2000, 50)[None], (20, 1)))
+    approx = np.asarray(pq_lookup(tables, jnp.asarray(codes)[cand]))
+    exact = synthetic.pairwise_l2sq(queries, data)[
+        np.arange(20)[:, None], np.asarray(cand)
+    ]
+    corr = np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.95, f"PQ/exact correlation too low: {corr}"
+
+
+def test_l2_distance():
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(4, 10)).astype(np.float32)
+    v = rng.normal(size=(4, 6, 10)).astype(np.float32)
+    got = np.asarray(l2_distance_to_candidates(jnp.asarray(q), jnp.asarray(v)))
+    want = ((q[:, None, :] - v) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # with precomputed norms
+    norms = (v * v).sum(-1)
+    got2 = np.asarray(
+        l2_distance_to_candidates(jnp.asarray(q), jnp.asarray(v), jnp.asarray(norms))
+    )
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bloom_insert_query():
+    q, bf = 3, 4999
+    bloom = jnp.zeros((q, bf), jnp.uint8)
+    ids = jnp.asarray([[1, 2, 3], [4, 5, 6], [7, 8, 9]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0], [1, 1, 1]], bool)
+    bloom = bloom_insert(bloom, ids, mask)
+    seen = np.asarray(bloom_query(bloom, ids))
+    np.testing.assert_array_equal(seen, np.asarray(mask))
+    # per-query isolation: query 0's inserts invisible to query 1
+    cross = np.asarray(bloom_query(bloom, jnp.asarray([[4], [1], [1]], jnp.int32)))
+    assert not cross.any()
+
+
+def test_bloom_false_positive_rate():
+    bf = 399887
+    rng = np.random.default_rng(4)
+    inserted = jnp.asarray(rng.choice(10**6, 500, replace=False)[None, :].astype(np.int32))
+    bloom = bloom_insert(
+        jnp.zeros((1, bf), jnp.uint8), inserted, jnp.ones((1, 500), bool)
+    )
+    probe = jnp.asarray((rng.integers(10**6, 2 * 10**6, 5000))[None, :].astype(np.int32))
+    fp = np.asarray(bloom_query(bloom, probe)).mean()
+    assert fp < 0.01, f"false positive rate too high: {fp}"
+
+
+def test_exact_new_mask():
+    cand = jnp.asarray([[5, 6, 7, 5]], jnp.int32)
+    wl = jnp.asarray([[6, INVALID_ID, INVALID_ID]], jnp.int32)
+    vis = jnp.asarray([[7, INVALID_ID]], jnp.int32)
+    mask = np.asarray(exact_new_mask(cand, wl, vis))
+    np.testing.assert_array_equal(mask, [[True, False, False, True]])
+
+
+def test_merge_worklist_keeps_best_l():
+    wl_d, wl_i, wl_v = init_worklist(1, 4)
+    cand_d = jnp.asarray([[3.0, 1.0, 2.0, np.inf, 5.0]])
+    cand_i = jnp.asarray([[30, 10, 20, 99, 50]], jnp.int32)
+    d, i, v = merge_worklist(wl_d, wl_i, wl_v, cand_d, cand_i)
+    np.testing.assert_array_equal(np.asarray(i[0]), [10, 20, 30, 50])
+    np.testing.assert_array_equal(np.asarray(d[0]), [1.0, 2.0, 3.0, 5.0])
+    assert not np.asarray(v).any()
+    # second merge: better candidate evicts the tail, visited flags ride along
+    v = v.at[0, 0].set(True)
+    d2, i2, v2 = merge_worklist(
+        d, i, v, jnp.asarray([[1.5]]), jnp.asarray([[15]], jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(i2[0]), [10, 15, 20, 30])
+    np.testing.assert_array_equal(np.asarray(v2[0]), [True, False, False, False])
+
+
+def test_merge_invalid_slots_stay_visited():
+    wl_d, wl_i, wl_v = init_worklist(1, 4)
+    d, i, v = merge_worklist(
+        wl_d, wl_i, wl_v, jnp.asarray([[2.0]]), jnp.asarray([[7]], jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(v[0]), [False, True, True, True])
+
+
+def test_select_parents():
+    wl_d = jnp.asarray([[1.0, 2.0, 3.0], [1.0, 2.0, np.inf]])
+    wl_i = jnp.asarray([[10, 20, 30], [40, 50, INVALID_ID]], jnp.int32)
+    wl_v = jnp.asarray([[True, False, False], [True, True, True]])
+    parents, active, new_v = select_parents(wl_d, wl_i, wl_v)
+    np.testing.assert_array_equal(np.asarray(parents), [20, 0])
+    np.testing.assert_array_equal(np.asarray(active), [True, False])
+    np.testing.assert_array_equal(np.asarray(new_v[0]), [True, True, False])
+    np.testing.assert_array_equal(np.asarray(new_v[1]), [True, True, True])
+
+
+def test_ops_jit_compile():
+    """All ops compose under jit with no concretization errors."""
+
+    @jax.jit
+    def step(wl, cand_ids, cand_dist, vis_ids):
+        mask = exact_new_mask(cand_ids, wl[1], vis_ids)
+        d = jnp.where(mask, cand_dist, jnp.inf)
+        merged = merge_worklist(*wl, d, cand_ids)
+        parents, active, v = select_parents(*merged)
+        return parents, active
+
+    wl = init_worklist(2, 8)
+    cand_ids = jnp.asarray(np.random.default_rng(0).integers(0, 50, (2, 5)), jnp.int32)
+    cand_dist = jnp.abs(jnp.asarray(np.random.default_rng(1).normal(size=(2, 5)), jnp.float32))
+    vis = jnp.full((2, 3), INVALID_ID, jnp.int32)
+    parents, active = step(wl, cand_ids, cand_dist, vis)
+    assert active.all()
