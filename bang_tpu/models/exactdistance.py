@@ -1,0 +1,49 @@
+"""BANG_Exactdistance variant: all-HBM graph, exact-L2 traversal, no PQ.
+
+Reference behavior (BANG_Exactdistance/parANN.cu:90-998): the graph index
+lives entirely on the accelerator; traversal distances are exact L2 against
+full-precision vectors; there is no re-rank — the distance-sorted worklist
+head is the answer (parANN.cu:1273-1276). Intended for ≤100M-point datasets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bang_tpu.models.index import DeviceIndex
+from bang_tpu.models.traversal import (
+    make_exact_distance_fn,
+    run_traversal,
+)
+from bang_tpu.utils.config import SearchParams
+
+
+@functools.partial(
+    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid")
+)
+def _search_exact_jit(adj, vectors, vector_norms, queries, medoid, l, k, max_iters, use_bloom):
+    q = queries.shape[0]
+    queries_f32 = queries.astype(jnp.float32)
+    distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms)
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
+    return final.wl_ids[:, :k], final.wl_dist[:, :k], final.it
+
+
+def search_exact(index: DeviceIndex, queries, params: SearchParams):
+    """Batched exact-distance search. Returns (ids [Q,k] i32, dists [Q,k] f32,
+    iterations run)."""
+    ids, dists, iters = _search_exact_jit(
+        index.adj,
+        index.vectors,
+        index.vector_norms,
+        jnp.asarray(queries),
+        medoid=index.medoid,
+        l=params.L,
+        k=params.k,
+        max_iters=params.max_iters,
+        use_bloom=params.visited_mode == "bloom",
+    )
+    return ids, dists, int(iters)

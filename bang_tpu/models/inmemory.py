@@ -1,0 +1,76 @@
+"""BANG_Inmemory variant: all-HBM graph + PQ traversal + exact re-rank.
+
+Reference behavior (BANG_Inmemory/parANN.cu:77-906): graph and PQ codes live
+on the accelerator; traversal distances come from per-query PQ tables; after
+the walk, every expanded node is re-ranked with exact L2 against
+full-precision vectors and the top-k is returned. Intended for ≤100M-point
+datasets. The only per-iteration host round trip in the reference (the
+`nextIter` bool, parANN.cu:595) disappears entirely: the loop condition lives
+inside `lax.while_loop` on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bang_tpu.models.index import DeviceIndex
+from bang_tpu.models.traversal import (
+    make_pq_distance_fn,
+    rerank_topk,
+    run_traversal,
+)
+from bang_tpu.utils.config import SearchParams
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank"),
+)
+def _search_inmemory_jit(
+    adj,
+    vectors,
+    vector_norms,
+    codes,
+    codebook,
+    queries,
+    medoid,
+    l,
+    k,
+    max_iters,
+    use_bloom,
+    rerank,
+):
+    q = queries.shape[0]
+    queries_f32 = queries.astype(jnp.float32)
+    distance_fn = make_pq_distance_fn(queries_f32, codebook, codes)
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
+    if rerank:
+        ids, dists = rerank_topk(
+            queries_f32, vectors, vector_norms, final.visited_ids, k
+        )
+    else:
+        ids, dists = final.wl_ids[:, :k], final.wl_dist[:, :k]
+    return ids, dists, final.it
+
+
+def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
+    """Batched PQ-traversal search with exact re-rank. Returns (ids [Q,k] i32,
+    dists [Q,k] f32 squared L2, iterations run)."""
+    ids, dists, iters = _search_inmemory_jit(
+        index.adj,
+        index.vectors,
+        index.vector_norms,
+        index.codes,
+        index.codebook,
+        jnp.asarray(queries),
+        medoid=index.medoid,
+        l=params.L,
+        k=params.k,
+        max_iters=params.max_iters,
+        use_bloom=params.visited_mode == "bloom",
+        rerank=params.rerank,
+    )
+    return ids, dists, int(iters)

@@ -1,0 +1,157 @@
+"""The greedy best-first graph traversal as a jit-compiled on-device loop.
+
+This is the TPU re-design of the reference's hot loop (BANG_Base/
+bang_search.cu:701-958; BANG_Inmemory/parANN.cu:531-611): state is a pytree of
+fixed-shape [Q, ...] arrays, the do/while becomes `lax.while_loop`, the global
+`d_nextIter` flag becomes `active.any()`, and the per-iteration kernel
+sequence (neighbor fetch → visited filter → distance → sort → merge → parent
+select) becomes a fused XLA program over the whole query batch. One parent is
+expanded per query per iteration, exactly like the reference
+(SIZEPARENTLIST=2, bang_search.cu:56-58).
+
+Distances during traversal are squared L2 (the reference never takes square
+roots; DiskANN ground truth is squared as well).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bang_tpu.constants import BF_ENTRIES, INVALID_ID
+from bang_tpu.ops.bloom import bloom_insert, bloom_query
+from bang_tpu.ops.l2 import l2_distance_to_candidates
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.pq import pq_distance_tables, pq_lookup
+from bang_tpu.ops.visited import exact_new_mask
+
+
+class TraversalState(NamedTuple):
+    wl_dist: jnp.ndarray  # [Q, L] f32
+    wl_ids: jnp.ndarray  # [Q, L] i32
+    wl_vis: jnp.ndarray  # [Q, L] bool
+    parents: jnp.ndarray  # [Q] i32 — selected last iteration, expanded next
+    visited_ids: jnp.ndarray  # [Q, MI] i32 — expansion order, INVALID padding
+    bloom: Optional[jnp.ndarray]  # [Q, BF] u8 or None (exact dedup mode)
+    active: jnp.ndarray  # [Q] bool
+    it: jnp.ndarray  # scalar i32
+
+
+def init_state(
+    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool
+) -> TraversalState:
+    wl_dist, wl_ids, wl_vis = init_worklist(q, l)
+    parents = jnp.full((q,), medoid, dtype=jnp.int32)
+    visited = jnp.full((q, max_iters), INVALID_ID, dtype=jnp.int32)
+    visited = visited.at[:, 0].set(medoid)
+    bloom = None
+    if use_bloom:
+        bloom = bloom_insert(
+            jnp.zeros((q, BF_ENTRIES), jnp.uint8),
+            parents[:, None],
+            jnp.ones((q, 1), jnp.bool_),
+        )
+    active = jnp.ones((q,), jnp.bool_)
+    return TraversalState(
+        wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, jnp.int32(1)
+    )
+
+
+def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool):
+    """Build the per-iteration body. `distance_fn(cand_ids) -> [Q, R] f32`."""
+
+    def step(state: TraversalState) -> TraversalState:
+        cand = adj[state.parents]  # [Q, R] adjacency gather
+
+        if use_bloom:
+            new = ~bloom_query(state.bloom, cand)
+            new = new & state.active[:, None]
+            bloom = bloom_insert(state.bloom, cand, new)
+        else:
+            new = exact_new_mask(cand, state.wl_ids, state.visited_ids)
+            new = new & state.active[:, None]
+            bloom = state.bloom
+
+        dist = jnp.where(new, distance_fn(cand), jnp.inf)
+        wl_dist, wl_ids, wl_vis = merge_worklist(
+            state.wl_dist, state.wl_ids, state.wl_vis, dist, cand
+        )
+        parents, active, wl_vis = select_parents(wl_dist, wl_ids, wl_vis)
+        visited = state.visited_ids.at[:, state.it].set(
+            jnp.where(active, parents, INVALID_ID)
+        )
+        return TraversalState(
+            wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, state.it + 1
+        )
+
+    return step
+
+
+def run_traversal(
+    adj: jnp.ndarray,
+    distance_fn,
+    medoid: int,
+    q: int,
+    l: int,
+    max_iters: int,
+    use_bloom: bool,
+) -> TraversalState:
+    """Run the full on-device while_loop; returns the final state."""
+    step = make_step(adj, distance_fn, use_bloom)
+    state = init_state(q, l, max_iters, medoid, use_bloom)
+    return jax.lax.while_loop(
+        lambda s: (s.it < max_iters) & s.active.any(),
+        step,
+        state,
+    )
+
+
+def make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=None):
+    """Traversal distance: exact squared L2 read from HBM-resident vectors
+    (BANG_Exactdistance behavior, parANN.cu:1139-1179)."""
+
+    def distance_fn(cand_ids):
+        vecs = vectors[cand_ids]  # [Q, R, D] gather
+        norms = vector_norms[cand_ids]
+        return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
+
+    return distance_fn
+
+
+def make_pq_distance_fn(queries_f32, codebook, codes):
+    """Traversal distance: PQ table lookup over gathered 8-bit codes
+    (BANG_Base/Inmemory behavior). Tables built once per batch on the MXU."""
+    tables = pq_distance_tables(codebook, queries_f32)
+
+    def distance_fn(cand_ids):
+        cand_codes = codes[cand_ids]  # [Q, R, m] gather
+        return pq_lookup(tables, cand_codes)
+
+    return distance_fn
+
+
+def rerank_topk(
+    queries_f32: jnp.ndarray,
+    vectors: jnp.ndarray,
+    vector_norms: jnp.ndarray,
+    visited_ids: jnp.ndarray,
+    k: int,
+    precision=None,
+):
+    """Exact re-rank of all expanded nodes, then top-k.
+
+    Replaces the reference's compute_L2Dist + compute_NearestNeighbours pair
+    (bang_search.cu:1254-1368): one gathered batched matmul for the distances
+    and `lax.top_k` instead of a per-query merge sort.
+    Returns (ids [Q, k] i32, dists [Q, k] f32 squared L2).
+    """
+    safe_ids = jnp.maximum(visited_ids, 0)
+    vecs = vectors[safe_ids]  # [Q, MI, D]
+    norms = vector_norms[safe_ids]
+    d = l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
+    d = jnp.where(visited_ids == INVALID_ID, jnp.inf, d)
+    neg, idx = jax.lax.top_k(-d, k)
+    ids = jnp.take_along_axis(visited_ids, idx, axis=1)
+    return ids, -neg

@@ -1,0 +1,67 @@
+"""End-to-end recall gate: exact-distance variant on a synthetic index
+(SURVEY.md §7 step 4 — the north-star milestone)."""
+
+import numpy as np
+import pytest
+
+from bang_tpu.formats import load_bin, load_truthset
+from bang_tpu.models.index import device_index_from_files
+from bang_tpu.models.exactdistance import search_exact
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.recall import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def loaded(tiny_index):
+    prefix = tiny_index["prefix"]
+    index = device_index_from_files(prefix, variant="exactdistance")
+    queries = load_bin(prefix + "_query.bin", np.float32)
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+    return index, queries, gt_ids, gt_dists
+
+
+def test_exact_search_recall(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    params = SearchParams(L=64, k=10)
+    ids, dists, iters = search_exact(index, queries, params)
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 95.0, f"recall@10 too low: {recall}"
+    assert 0 < iters <= params.max_iters
+    # distances ascending & exact for the returned ids
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    gathered = index_vectors_dist(index, queries, np.asarray(ids))
+    np.testing.assert_allclose(d, gathered, rtol=1e-3, atol=1e-2)
+
+
+def index_vectors_dist(index, queries, ids):
+    vecs = np.asarray(index.vectors)[ids]
+    return ((queries[:, None, :] - vecs) ** 2).sum(-1)
+
+
+def test_exact_search_bloom_mode(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    params = SearchParams(L=64, k=10, visited_mode="bloom")
+    ids, _, _ = search_exact(index, queries, params)
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 95.0, f"bloom-mode recall@10 too low: {recall}"
+
+
+def test_exact_search_larger_L_improves(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    r_small = calculate_recall(
+        gt_ids, np.asarray(search_exact(index, queries, SearchParams(L=10, k=10))[0]), 10, gt_dists
+    )
+    r_large = calculate_recall(
+        gt_ids, np.asarray(search_exact(index, queries, SearchParams(L=96, k=10))[0]), 10, gt_dists
+    )
+    assert r_large >= r_small
+    assert r_large >= 98.0
+
+
+def test_exact_search_k1(loaded):
+    """k=1 should find the true nearest neighbor for nearly every query."""
+    index, queries, gt_ids, gt_dists = loaded
+    ids, _, _ = search_exact(index, queries, SearchParams(L=32, k=1))
+    hit = (np.asarray(ids)[:, 0] == gt_ids[:, 0]).mean()
+    assert hit >= 0.95

@@ -1,0 +1,63 @@
+"""End-to-end recall gate: in-memory PQ variant with exact re-rank
+(SURVEY.md §7 step 5)."""
+
+import numpy as np
+import pytest
+
+from bang_tpu.formats import load_bin, load_truthset
+from bang_tpu.models.index import device_index_from_files
+from bang_tpu.models.inmemory import search_inmemory
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.recall import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def loaded(tiny_index):
+    prefix = tiny_index["prefix"]
+    index = device_index_from_files(prefix, variant="inmemory")
+    queries = load_bin(prefix + "_query.bin", np.float32)
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+    return index, queries, gt_ids, gt_dists
+
+
+def test_inmemory_recall(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    params = SearchParams(L=64, k=10)
+    ids, dists, iters = search_inmemory(index, queries, params)
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 90.0, f"PQ+rerank recall@10 too low: {recall}"
+    # re-ranked distances are exact squared L2 of the returned ids
+    vecs = np.asarray(index.vectors)[np.asarray(ids)]
+    want = ((queries[:, None, :] - vecs) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dists), want, rtol=1e-3, atol=1e-2)
+
+
+def test_inmemory_rerank_improves_over_raw_pq(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    p_rerank = SearchParams(L=64, k=10, rerank=True)
+    p_raw = SearchParams(L=64, k=10, rerank=False)
+    r_rerank = calculate_recall(
+        gt_ids, np.asarray(search_inmemory(index, queries, p_rerank)[0]), 10, gt_dists
+    )
+    r_raw = calculate_recall(
+        gt_ids, np.asarray(search_inmemory(index, queries, p_raw)[0]), 10, gt_dists
+    )
+    assert r_rerank >= r_raw
+
+
+def test_inmemory_bloom_mode(loaded):
+    index, queries, gt_ids, gt_dists = loaded
+    params = SearchParams(L=64, k=10, visited_mode="bloom")
+    ids, _, _ = search_inmemory(index, queries, params)
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 90.0, f"bloom-mode recall@10 too low: {recall}"
+
+
+def test_inmemory_uint8(tiny_uint8_index):
+    prefix = tiny_uint8_index["prefix"]
+    index = device_index_from_files(prefix, variant="inmemory")
+    queries = load_bin(prefix + "_query.bin", np.float32)
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+    ids, _, _ = search_inmemory(index, queries, SearchParams(L=64, k=10))
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 90.0, f"uint8 recall@10 too low: {recall}"
