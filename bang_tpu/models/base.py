@@ -1,0 +1,219 @@
+"""BANG_Base variant: billion-scale search with the graph in host RAM.
+
+Reference behavior (BANG_Base/bang_search.cu:569-1068): PQ codes live on the
+accelerator; the packed graph (vectors + adjacency) stays in host RAM because
+it cannot fit in device memory at billion scale. Each iteration the host
+fetches the current parents' adjacency rows and full-precision vectors with a
+multithreaded gather and ships them to the device, which filters, computes PQ
+distances, merges the worklist, and returns the next parents.
+
+TPU-native re-design of the reference's overlap machinery (4 CUDA streams +
+speculative compute_parent1/2 prefetch, bang_search.cu:1384-1521):
+  * the query batch is split into pipeline sub-batches; while the device steps
+    sub-batch B, the host gathers neighbors for sub-batch A (JAX dispatch is
+    asynchronous, so `step` launches return immediately and the host gather
+    runs concurrently with device compute);
+  * instead of streaming parent FP vectors to a device-side [iters, Q, D]
+    buffer for a final re-rank kernel (reference d_FPSetCoordsList), the exact
+    parent distance is computed the moment the vector arrives and only the
+    scalar distance is kept — re-rank memory drops from O(iters*Q*D) to
+    O(iters*Q), and the final top-k needs no second gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bang_tpu.constants import BF_ENTRIES, INVALID_ID
+from bang_tpu.formats.graph import load_metadata, GRAPH_INDEX_FILE_SUFFIX
+from bang_tpu.formats.pq import load_pq
+from bang_tpu.native import gather_parents
+from bang_tpu.ops.bloom import bloom_insert, bloom_query
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.pq import pq_distance_tables, pq_lookup, prepare_pq_codebook
+from bang_tpu.ops.visited import exact_new_mask
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.timer import StageTimers
+
+
+class BaseState(NamedTuple):
+    wl_dist: jnp.ndarray  # [Q, L]
+    wl_ids: jnp.ndarray  # [Q, L]
+    wl_vis: jnp.ndarray  # [Q, L]
+    visited_ids: jnp.ndarray  # [Q, MI]
+    l2_dists: jnp.ndarray  # [Q, MI] exact distances of expanded nodes
+    bloom: Optional[jnp.ndarray]
+    active: jnp.ndarray  # [Q]
+    it: jnp.ndarray  # scalar i32
+
+
+def _init_state(q: int, l: int, max_iters: int, medoid: int, use_bloom: bool) -> BaseState:
+    wl_dist, wl_ids, wl_vis = init_worklist(q, l)
+    visited = jnp.full((q, max_iters), INVALID_ID, jnp.int32).at[:, 0].set(medoid)
+    l2d = jnp.full((q, max_iters), jnp.inf, jnp.float32)
+    bloom = None
+    if use_bloom:
+        bloom = bloom_insert(
+            jnp.zeros((q, BF_ENTRIES), jnp.uint8),
+            jnp.full((q, 1), medoid, jnp.int32),
+            jnp.ones((q, 1), jnp.bool_),
+        )
+    return BaseState(
+        wl_dist, wl_ids, wl_vis, visited, l2d, bloom,
+        jnp.ones((q,), jnp.bool_), jnp.int32(1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("use_bloom",), donate_argnums=(0,))
+def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom):
+    """One device iteration given host-gathered neighbors + parent vectors."""
+    # Exact distance of the parents being expanded now (their visited slot is
+    # it-1); replaces the deferred compute_L2Dist re-rank pass.
+    pd = ((parent_fp - queries_f32) ** 2).sum(-1)
+    l2d = state.l2_dists.at[:, state.it - 1].set(
+        jnp.where(state.active, pd, jnp.inf)
+    )
+
+    if use_bloom:
+        new = ~bloom_query(state.bloom, nbrs)
+        new = new & state.active[:, None]
+        bloom = bloom_insert(state.bloom, nbrs, new)
+    else:
+        new = exact_new_mask(nbrs, state.wl_ids, state.visited_ids)
+        new = new & state.active[:, None]
+        bloom = state.bloom
+
+    cand_codes = codes[nbrs]
+    dist = jnp.where(new, pq_lookup(tables, cand_codes), jnp.inf)
+    wl_dist, wl_ids, wl_vis = merge_worklist(
+        state.wl_dist, state.wl_ids, state.wl_vis, dist, nbrs
+    )
+    parents, active, wl_vis = select_parents(wl_dist, wl_ids, wl_vis)
+    visited = state.visited_ids.at[:, state.it].set(
+        jnp.where(active, parents, INVALID_ID)
+    )
+    new_state = BaseState(
+        wl_dist, wl_ids, wl_vis, visited, l2d, bloom, active, state.it + 1
+    )
+    return new_state, parents, active.any()
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _base_finish(state: BaseState, k: int):
+    neg, idx = jax.lax.top_k(-state.l2_dists, k)
+    ids = jnp.take_along_axis(state.visited_ids, idx, axis=1)
+    return ids, -neg
+
+
+class BaseVariantSearcher:
+    """Host-RAM-graph searcher (the BANGSearch facade's billion-scale engine).
+
+    Only the PQ codes + codebook are device-resident; the packed graph file is
+    memory-mapped (or held in RAM) on the host, exactly like the reference's
+    `pIndex` (bang_search.cu:311-328).
+    """
+
+    def __init__(
+        self,
+        prefix: str,
+        n_pipeline_batches: int = 2,
+        n_threads: int = 0,
+        mmap: bool = True,
+    ):
+        self.meta = load_metadata(prefix + "_disk_metadata.bin")
+        path = prefix + GRAPH_INDEX_FILE_SUFFIX
+        mode = "r" if mmap else None
+        n, entry_len = self.meta.n, self.meta.entry_len
+        if mmap:
+            self.raw = np.memmap(path, dtype=np.uint8, mode="r", shape=(n, entry_len))
+        else:
+            self.raw = np.fromfile(path, dtype=np.uint8, count=n * entry_len).reshape(
+                n, entry_len
+            )
+        pq = load_pq(prefix)
+        self.codes = jnp.asarray(pq.codes)
+        self.codebook = prepare_pq_codebook(pq.pivots, pq.centroid, pq.chunk_offsets)
+        self.vec_bytes = self.meta.dim * self.meta.numpy_dtype.itemsize
+        self.n_pipeline_batches = n_pipeline_batches
+        self.n_threads = n_threads
+        self.timers = StageTimers(enabled=False)
+
+    def _host_gather(self, parents: np.ndarray):
+        return gather_parents(
+            self.raw,
+            self.meta.entry_len,
+            self.vec_bytes,
+            self.meta.dim,
+            self.meta.degree,
+            self.meta.dtype_code,
+            parents,
+            n_threads=self.n_threads,
+        )
+
+    def search(self, queries: np.ndarray, params: SearchParams):
+        """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        q_total = queries.shape[0]
+        nb = min(self.n_pipeline_batches, q_total)
+        use_bloom = params.visited_mode == "bloom"
+        bounds = np.linspace(0, q_total, nb + 1).astype(int)
+        slices = [slice(bounds[i], bounds[i + 1]) for i in range(nb)]
+
+        sub_q = [jnp.asarray(queries[s]) for s in slices]
+        tables = [pq_distance_tables(self.codebook, sq) for sq in sub_q]
+        states = [
+            _init_state(sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom)
+            for sq in sub_q
+        ]
+        parents_host = [
+            np.full(sq.shape[0], self.meta.medoid, dtype=np.int32) for sq in sub_q
+        ]
+        pending = [None] * nb  # (parents_dev, active_any_dev) in flight
+        done = [False] * nb
+
+        # Software pipeline: the host gather for sub-batch b overlaps the
+        # device step of the other sub-batches (async JAX dispatch).
+        for it in range(1, params.max_iters):
+            progressed = False
+            for b in range(nb):
+                if done[b]:
+                    continue
+                if pending[b] is not None:
+                    parents_dev, active_dev = pending[b]
+                    parents_host[b] = np.asarray(parents_dev)
+                    pending[b] = None
+                    if not bool(active_dev):
+                        done[b] = True
+                        continue
+                with self.timers.stage("host_gather"):
+                    nbrs, fp = self._host_gather(parents_host[b])
+                states[b], parents_dev, active_dev = _base_step(
+                    states[b],
+                    jnp.asarray(nbrs),
+                    jnp.asarray(fp),
+                    sub_q[b],
+                    tables[b],
+                    self.codes,
+                    use_bloom,
+                )
+                pending[b] = (parents_dev, active_dev)
+                progressed = True
+            if not progressed:
+                break
+        # drain in-flight steps
+        for b in range(nb):
+            if pending[b] is not None:
+                jax.block_until_ready(states[b].wl_dist)
+
+        ids = np.empty((q_total, params.k), np.int32)
+        dists = np.empty((q_total, params.k), np.float32)
+        for b, s in enumerate(slices):
+            i_b, d_b = _base_finish(states[b], params.k)
+            ids[s] = np.asarray(i_b)
+            dists[s] = np.asarray(d_b)
+        return ids, dists
