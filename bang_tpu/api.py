@@ -1,0 +1,126 @@
+"""Public search API: the `BANGSearch` facade.
+
+Mirrors the reference's 7-method lifecycle (BANG_Base/bang.h:53-82):
+    bang_load → bang_set_searchparams → bang_alloc → bang_init → bang_query
+    → bang_free → bang_unload
+with the reference's dtype dispatch (float32 / uint8 / int8, bang.h:85-87) and
+L2 / MIPS distance functions (bang.h:26-30). On TPU, `bang_alloc`+`bang_init`
+map to jit specialization + state initialization, which happen inside the
+compiled search program; they are kept as explicit no-op-ish stages (alloc
+triggers an ahead-of-time compile so that `bang_query` timing excludes
+compilation, exactly like the reference excludes cudaMalloc from QPS).
+
+Beyond the reference, the same facade also drives the Inmemory and
+Exactdistance variants (which in the reference are separate binaries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bang_tpu.constants import ENUM_DIST_L2, ENUM_DIST_MIPS
+from bang_tpu.formats.preprocess import preprocess_queries_mips
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.logging import log_message
+
+# result ids are int64 on output for big-ann-benchmarks compatibility
+# (reference: result_ann_t = unsigned long, bang.h:23).
+RESULT_DTYPE = np.int64
+
+
+class BANGSearch:
+    """Facade over the three search variants.
+
+    variant: "base" (host-RAM graph, billion-scale), "inmemory"
+    (all-HBM graph + PQ + re-rank), or "exactdistance" (all-HBM, no PQ).
+    """
+
+    def __init__(self, variant: str = "base", dist_func: int = ENUM_DIST_L2):
+        if variant not in ("base", "inmemory", "exactdistance"):
+            raise ValueError(f"unknown variant {variant!r}")
+        self.variant = variant
+        self.dist_func = dist_func
+        self._index = None
+        self._searcher = None
+        self._params: SearchParams | None = None
+        self._compiled_for: tuple | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def bang_load(self, index_prefix: str, mmap: bool | None = None) -> bool:
+        """Load the index files for the configured variant."""
+        log_message(f"bang_load({index_prefix}) variant={self.variant}")
+        if self.variant == "base":
+            from bang_tpu.models.base import BaseVariantSearcher
+
+            self._searcher = BaseVariantSearcher(
+                index_prefix, mmap=True if mmap is None else mmap
+            )
+        else:
+            from bang_tpu.models.index import device_index_from_files
+
+            self._index = device_index_from_files(index_prefix, variant=self.variant)
+        return True
+
+    def bang_set_searchparams(
+        self, recall_param: int, worklist_length: int, **kwargs
+    ) -> None:
+        """Set k (recall_param) and L (worklist length); extra kwargs feed
+        SearchParams (visited_mode, rerank, ...). Reference:
+        bang_search.cu:561-567."""
+        self._params = SearchParams(
+            L=worklist_length, k=recall_param, dist_func=self.dist_func, **kwargs
+        )
+        self._compiled_for = None
+
+    def bang_alloc(self, num_queries: int) -> None:
+        """Ahead-of-time compile the search program for this (Q, L, k) shape
+        so bang_query measures steady-state throughput."""
+        assert self._params is not None, "call bang_set_searchparams first"
+        dim = self._dim()
+        warm = np.zeros((num_queries, dim), np.float32)
+        self._run(warm)
+        self._compiled_for = (num_queries,)
+
+    def bang_init(self) -> None:
+        """Per-batch state re-initialization happens inside the compiled
+        program; nothing to do (kept for lifecycle parity)."""
+
+    def bang_query(self, queries: np.ndarray):
+        """Search. queries: [Q, D]; returns (ids [Q, k] int64, dists [Q, k] f32)."""
+        assert self._params is not None, "call bang_set_searchparams first"
+        queries = np.asarray(queries)
+        if self.dist_func == ENUM_DIST_MIPS and queries.shape[1] == self._dim() - 1:
+            queries = preprocess_queries_mips(queries)
+        ids, dists = self._run(queries)
+        return np.asarray(ids).astype(RESULT_DTYPE), np.asarray(dists)
+
+    def bang_free(self) -> None:
+        """Drop compiled-shape state (device search buffers are managed by
+        XLA; jit caches are cleared on unload)."""
+        self._compiled_for = None
+
+    def bang_unload(self) -> None:
+        self._index = None
+        self._searcher = None
+        self._compiled_for = None
+
+    # -- internals ----------------------------------------------------------
+
+    def _dim(self) -> int:
+        if self.variant == "base":
+            return self._searcher.meta.dim
+        return self._index.dim
+
+    def _run(self, queries: np.ndarray):
+        if self.variant == "base":
+            return self._searcher.search(queries, self._params)
+        if self.variant == "inmemory":
+            from bang_tpu.models.inmemory import search_inmemory
+
+            ids, dists, _ = search_inmemory(self._index, queries, self._params)
+            return ids, dists
+        from bang_tpu.models.exactdistance import search_exact
+
+        ids, dists, _ = search_exact(self._index, queries, self._params)
+        return ids, dists
