@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §2.3:
+the TPU-native scale-out extension; collectives via shard_map)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bang_tpu.formats import synthetic
+from bang_tpu.models.index import build_device_index
+from bang_tpu.formats.graph import GraphIndex
+from bang_tpu.parallel.partition import build_sharded_index
+from bang_tpu.parallel.sharded import make_mesh, search_data_parallel, search_sharded
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.recall import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    data = synthetic.make_clustered_data(4096, 32, n_clusters=24, seed=11)
+    rng = np.random.default_rng(12)
+    queries = (
+        data[rng.integers(0, len(data), 96)].astype(np.float32)
+        + rng.normal(0, 0.05, (96, 32)).astype(np.float32)
+    )
+    gt_ids, gt_dists = synthetic.compute_groundtruth(data, queries, 10)
+    return data, queries, gt_ids, gt_dists
+
+
+def test_mesh_creation():
+    mesh = make_mesh(2, 4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    with pytest.raises(AssertionError):
+        make_mesh(4, 4)
+
+
+def test_sharded_pq_search(dataset):
+    data, queries, gt_ids, gt_dists = dataset
+    mesh = make_mesh(2, 4)
+    si = build_sharded_index(data, n_shards=4, r=24, m=16, seed=1)
+    ids, dists = search_sharded(mesh, si, queries, SearchParams(L=48, k=10))
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 90.0, f"sharded recall@10: {recall}"
+    # distances are exact squared L2 for returned global ids
+    vecs = data[np.asarray(ids)]
+    want = ((queries[:, None, :] - vecs) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dists), want, rtol=1e-3, atol=1e-2)
+
+
+def test_sharded_exact_search(dataset):
+    data, queries, gt_ids, gt_dists = dataset
+    mesh = make_mesh(1, 8)
+    si = build_sharded_index(data, n_shards=8, r=24, m=None, seed=2)
+    ids, _ = search_sharded(mesh, si, queries, SearchParams(L=48, k=10))
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 92.0, f"sharded exact recall@10: {recall}"
+
+
+def test_data_parallel_matches_single_device(dataset):
+    data, queries, gt_ids, gt_dists = dataset
+    adj, degrees = synthetic.build_knn_graph(data, 24, n_random=4, seed=3)
+    pq = synthetic.train_pq(data, 16, seed=3)
+    pq.codes = synthetic.encode_pq(data, pq)
+    graph = GraphIndex(data, adj, degrees, synthetic.medoid_of(data))
+    index = build_device_index(graph=graph, pq=pq)
+
+    params = SearchParams(L=48, k=10)
+    mesh = make_mesh(8, 1)
+    ids_dp, _ = search_data_parallel(mesh, index, queries, params)
+
+    from bang_tpu.models.inmemory import search_inmemory
+
+    ids_1, _, _ = search_inmemory(index, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_dp), np.asarray(ids_1))
