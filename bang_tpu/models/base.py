@@ -69,8 +69,8 @@ def _init_state(q: int, l: int, max_iters: int, medoid: int, use_bloom: bool) ->
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_bloom",), donate_argnums=(0,))
-def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom):
+@functools.partial(jax.jit, static_argnames=("use_bloom", "pq_impl"), donate_argnums=(0,))
+def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom, pq_impl="xla"):
     """One device iteration given host-gathered neighbors + parent vectors."""
     # Exact distance of the parents being expanded now (their visited slot is
     # it-1); replaces the deferred compute_L2Dist re-rank pass.
@@ -88,8 +88,13 @@ def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, us
         new = new & state.active[:, None]
         bloom = state.bloom
 
-    cand_codes = codes[nbrs]
-    dist = jnp.where(new, pq_lookup(tables, cand_codes), jnp.inf)
+    if pq_impl == "pallas":
+        from bang_tpu.ops.pq_pallas import pq_lookup_packed
+
+        raw = pq_lookup_packed(tables, codes[nbrs])  # tables pre-packed int32
+    else:
+        raw = pq_lookup(tables, codes[nbrs])
+    dist = jnp.where(new, raw, jnp.inf)
     wl_dist, wl_ids, wl_vis = merge_worklist(
         state.wl_dist, state.wl_ids, state.wl_vis, dist, nbrs
     )
@@ -164,8 +169,16 @@ class BaseVariantSearcher:
         bounds = np.linspace(0, q_total, nb + 1).astype(int)
         slices = [slice(bounds[i], bounds[i + 1]) for i in range(nb)]
 
+        from bang_tpu.ops.pq_pallas import pack_tables, use_pallas_default
+
+        pq_impl = params.pq_impl
+        if pq_impl == "auto":
+            pq_impl = "pallas" if use_pallas_default() else "xla"
+
         sub_q = [jnp.asarray(queries[s]) for s in slices]
         tables = [pq_distance_tables(self.codebook, sq) for sq in sub_q]
+        if pq_impl == "pallas":
+            tables = [pack_tables(t) for t in tables]
         states = [
             _init_state(sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom)
             for sq in sub_q
@@ -200,6 +213,7 @@ class BaseVariantSearcher:
                     tables[b],
                     self.codes,
                     use_bloom,
+                    pq_impl,
                 )
                 pending[b] = (parents_dev, active_dev)
                 progressed = True

@@ -27,7 +27,7 @@ from bang_tpu.utils.config import SearchParams
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank"),
+    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank", "pq_impl"),
 )
 def _search_inmemory_jit(
     adj,
@@ -42,10 +42,11 @@ def _search_inmemory_jit(
     max_iters,
     use_bloom,
     rerank,
+    pq_impl="auto",
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
-    distance_fn = make_pq_distance_fn(queries_f32, codebook, codes)
+    distance_fn = make_pq_distance_fn(queries_f32, codebook, codes, impl=pq_impl)
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
     if rerank:
         ids, dists = rerank_topk(
@@ -72,5 +73,6 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
         rerank=params.rerank,
+        pq_impl=params.pq_impl,
     )
     return ids, dists, int(iters)

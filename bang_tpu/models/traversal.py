@@ -120,14 +120,30 @@ def make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=None):
     return distance_fn
 
 
-def make_pq_distance_fn(queries_f32, codebook, codes):
+def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto"):
     """Traversal distance: PQ table lookup over gathered 8-bit codes
-    (BANG_Base/Inmemory behavior). Tables built once per batch on the MXU."""
+    (BANG_Base/Inmemory behavior). Tables built once per batch on the MXU.
+
+    impl: "pallas" (TPU lane-gather kernel, bf16 tables — see ops/pq_pallas),
+    "xla" (take_along_axis; fine on CPU, very slow on TPU), or "auto".
+    """
+    from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed, use_pallas_default
+
+    if impl == "auto":
+        impl = "pallas" if use_pallas_default() else "xla"
     tables = pq_distance_tables(codebook, queries_f32)
 
-    def distance_fn(cand_ids):
-        cand_codes = codes[cand_ids]  # [Q, R, m] gather
-        return pq_lookup(tables, cand_codes)
+    if impl == "pallas":
+        packed = pack_tables(tables)
+
+        def distance_fn(cand_ids):
+            return pq_lookup_packed(packed, codes[cand_ids])
+
+    else:
+
+        def distance_fn(cand_ids):
+            cand_codes = codes[cand_ids]  # [Q, R, m] gather
+            return pq_lookup(tables, cand_codes)
 
     return distance_fn
 

@@ -31,6 +31,7 @@ class SearchParams:
     extra_iters: int = DEFAULT_EXTRA_ITERS
     visited_mode: str = "exact"  # "exact" (worklist∪visited compare) | "bloom"
     rerank: bool = True  # exact re-rank of visited nodes (PQ variants)
+    pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
     capabilities: int = 0  # ENABLE_GPU_STATS | ENABLE_CACHE_WARMUP bitmask
 
     def __post_init__(self):
@@ -40,6 +41,8 @@ class SearchParams:
             raise ValueError(f"k ({self.k}) must be <= L ({self.L})")
         if self.visited_mode not in ("exact", "bloom"):
             raise ValueError(f"unknown visited_mode {self.visited_mode!r}")
+        if self.pq_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown pq_impl {self.pq_impl!r}")
 
     @property
     def max_iters(self) -> int:
