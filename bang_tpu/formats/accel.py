@@ -1,0 +1,135 @@
+"""Accelerator-powered offline index construction (kNN graphs, ground truth,
+PQ encoding) — MXU matmuls instead of numpy loops.
+
+The reference delegates graph building to DiskANN on the CPU (offline,
+hours-scale for 1B points); for self-contained benchmarks we build synthetic
+indices on the TPU itself: blocked exact-kNN via the norm expansion on the
+MXU + `lax.top_k`. A 1M x 128 dataset builds in seconds versus ~hours in
+numpy. Ground truth uses full f32 precision; graph edges tolerate bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def _block_topk(block_vecs, vectors, vector_norms, row_offset, k, exact):
+    """Top-k nearest ids+dists of `block_vecs` against `vectors` (self excluded
+    by distance; caller drops the self column)."""
+    b = block_vecs.astype(jnp.float32)
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    cross = jnp.einsum(
+        "bd,nd->bn",
+        b,
+        vectors.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    d = vector_norms[None, :] - 2.0 * cross + (b * b).sum(-1, keepdims=True)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32), -neg
+
+
+def _device_vectors(vectors: np.ndarray):
+    v = jnp.asarray(vectors.astype(np.float32))
+    v64 = vectors.astype(np.float64)
+    norms = jnp.asarray((v64 * v64).sum(-1).astype(np.float32))
+    return v, norms
+
+
+def compute_groundtruth_jax(
+    vectors: np.ndarray, queries: np.ndarray, k: int, block: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k ground truth on the accelerator (f32, HIGHEST precision)."""
+    v, norms = _device_vectors(vectors)
+    nq = queries.shape[0]
+    ids = np.empty((nq, k), np.uint32)
+    dists = np.empty((nq, k), np.float32)
+    for s in range(0, nq, block):
+        q_blk = queries[s : s + block].astype(np.float32)
+        nb = q_blk.shape[0]
+        if nb < block:  # pad to a fixed shape: one compiled program total
+            q_blk = np.pad(q_blk, ((0, block - nb), (0, 0)))
+        i, d = _block_topk(jnp.asarray(q_blk), v, norms, 0, k, True)
+        ids[s : s + block] = np.asarray(i[:nb]).astype(np.uint32)
+        dists[s : s + block] = np.asarray(d[:nb])
+    return ids, dists
+
+
+def build_knn_graph_jax(
+    vectors: np.ndarray,
+    r: int,
+    n_random: int = 8,
+    seed: int = 0,
+    block: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """kNN + random-edge navigable graph, built on the accelerator.
+
+    Same output contract as formats.synthetic.build_knn_graph.
+    """
+    n = vectors.shape[0]
+    k_nn = r - n_random
+    v, norms = _device_vectors(vectors)
+    rng = np.random.default_rng(seed)
+    adj = np.empty((n, r), dtype=np.int32)
+    for s in range(0, n, block):
+        blk = v[s : s + block]
+        nb = blk.shape[0]
+        if nb < block:
+            blk = jnp.pad(blk, ((0, block - nb), (0, 0)))
+        ids, _ = _block_topk(blk, v, norms, s, k_nn + 1, False)
+        ids = np.asarray(ids)[:nb]
+        rows = np.arange(s, min(s + block, n))
+        # drop the self column (first hit is the point itself, possibly tied):
+        # stable-sort "self" entries to the back, keep the first k_nn
+        is_self = ids == rows[:, None]
+        order = np.argsort(is_self, axis=1, kind="stable")
+        adj[s : s + block, :k_nn] = np.take_along_axis(ids, order, axis=1)[:, :k_nn]
+    if n_random > 0:
+        adj[:, k_nn:] = rng.integers(0, n, size=(n, n_random), dtype=np.int32)
+        self_hit = adj[:, k_nn:] == np.arange(n, dtype=np.int32)[:, None]
+        adj[:, k_nn:][self_hit] = (adj[:, k_nn:][self_hit] + 1) % n
+    degrees = np.full(n, r, dtype=np.int32)
+    return adj, degrees
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode_block(chunk_data, piv_chunks):
+    """chunk_data: [B, m, dmax]; piv_chunks: [m, 256, dmax] -> codes [B, m]."""
+    d = (
+        (piv_chunks * piv_chunks).sum(-1)[None]
+        - 2.0
+        * jnp.einsum(
+            "bmt,mjt->bmj", chunk_data, piv_chunks, preferred_element_type=jnp.float32
+        )
+        + (chunk_data * chunk_data).sum(-1)[:, :, None]
+    )
+    return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+
+def encode_pq_jax(vectors: np.ndarray, pq, block: int = 65536) -> np.ndarray:
+    """PQ-encode all vectors on the accelerator (same contract as
+    synthetic.encode_pq)."""
+    from bang_tpu.ops.pq import prepare_pq_codebook
+
+    cb = prepare_pq_codebook(pq.pivots, pq.centroid, pq.chunk_offsets)
+    n = vectors.shape[0]
+    m = cb.num_chunks
+    codes = np.empty((n, m), np.uint8)
+    dim_idx = np.asarray(cb.dim_idx)
+    dim_mask = np.asarray(cb.dim_mask)
+    for s in range(0, n, block):
+        x = vectors[s : s + block].astype(np.float32) - pq.centroid
+        nb = x.shape[0]
+        if nb < block:
+            x = np.pad(x, ((0, block - nb), (0, 0)))
+        chunk_data = x[:, dim_idx] * dim_mask  # [B, m, dmax]
+        codes[s : s + block] = np.asarray(
+            _encode_block(jnp.asarray(chunk_data), cb.piv_chunks)
+        )[:nb]
+    return codes

@@ -1,0 +1,123 @@
+"""Benchmark: batched ANN search throughput at 0.9 recall@10.
+
+Methodology mirrors the reference's headline benchmark (Cost_Analysis.pdf:
+10,000 queries, k=10, QPS at the smallest L reaching 0.9 10-recall@10; BANG
+reports 117,647 QPS on SIFT1B on one A100-80GB). Hardware here is one TPU
+chip. The dataset is a self-built SIFT-like synthetic (1M x 128 uint8,
+R=64 graph, m=64 PQ) because the real SIFT1B artifacts cannot be downloaded
+in this environment; `vs_baseline` therefore compares single-chip QPS against
+the reference's published single-GPU number on its (larger) dataset — see
+BASELINE.md. The index is built once on-device and cached under bench_data/.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 117_647.0  # reference: SIFT1B on 1x A100-80GB @ 0.9 recall@10
+
+N = int(os.environ.get("BENCH_N", 1_000_000))
+D = int(os.environ.get("BENCH_D", 128))
+R = int(os.environ.get("BENCH_R", 64))
+M = int(os.environ.get("BENCH_M", 64))
+Q = int(os.environ.get("BENCH_Q", 10_000))
+K = 10
+TARGET_RECALL = 90.0
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+PREFIX = os.path.join(CACHE, f"synth_n{N}_d{D}_r{R}_m{M}")
+
+
+def build_index():
+    from bang_tpu.formats import synthetic
+    from bang_tpu.formats.accel import (
+        build_knn_graph_jax,
+        compute_groundtruth_jax,
+        encode_pq_jax,
+    )
+    from bang_tpu.formats.bin_io import save_bin, save_truthset
+    from bang_tpu.formats.graph import GraphIndex, save_graph_index
+    from bang_tpu.formats.pq import save_pq
+
+    t0 = time.time()
+    print(f"[bench] building synthetic index N={N} D={D} R={R} m={M}", file=sys.stderr)
+    data = synthetic.make_clustered_data(N, D, n_clusters=1024, dtype=np.uint8, seed=0)
+    adj, degrees = build_knn_graph_jax(data, R, n_random=R // 8, seed=0, block=1024)
+    print(f"[bench] graph built {time.time()-t0:.0f}s", file=sys.stderr)
+    pq = synthetic.train_pq(data, M, seed=0)
+    pq.codes = encode_pq_jax(data, pq)
+    print(f"[bench] pq built {time.time()-t0:.0f}s", file=sys.stderr)
+    rng = np.random.default_rng(1)
+    queries = data[rng.integers(0, N, Q)].astype(np.float32)
+    queries += rng.normal(0, 2.0, queries.shape).astype(np.float32)
+    gt_ids, gt_dists = compute_groundtruth_jax(data, queries, 100, block=1024)
+    print(f"[bench] gt built {time.time()-t0:.0f}s", file=sys.stderr)
+
+    medoid = synthetic.medoid_of(data)
+    save_graph_index(PREFIX, GraphIndex(data, adj, degrees, medoid))
+    save_pq(PREFIX, pq)
+    save_bin(PREFIX + "_query.bin", queries)
+    save_truthset(PREFIX + "_gt.bin", gt_ids, gt_dists)
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    from bang_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    if not os.path.exists(PREFIX + "_gt.bin"):
+        build_index()
+
+    from bang_tpu.formats.bin_io import load_bin, load_truthset
+    from bang_tpu.models.index import device_index_from_files
+    from bang_tpu.models.inmemory import search_inmemory
+    from bang_tpu.utils.config import SearchParams
+    from bang_tpu.utils.recall import calculate_recall
+
+    index = device_index_from_files(PREFIX, variant="inmemory")
+    queries = load_bin(PREFIX + "_query.bin", np.float32)[:Q]
+    gt_ids, gt_dists = load_truthset(PREFIX + "_gt.bin")
+    gt_ids, gt_dists = gt_ids[:Q], gt_dists[:Q]
+
+    best = None
+    for L in (20, 30, 40, 50, 60, 80, 100, 130, 160, 200):
+        params = SearchParams(L=L, k=K)
+        ids, dists, iters = search_inmemory(index, queries, params)  # compile+warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids, dists, iters = search_inmemory(index, queries, params)
+            times.append(time.perf_counter() - t0)
+        recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
+        qps = Q / min(times)
+        print(
+            f"[bench] L={L} recall={recall:.2f} qps={qps:,.0f} iters={iters}",
+            file=sys.stderr,
+        )
+        best = {"L": L, "recall": recall, "qps": qps}
+        if recall >= TARGET_RECALL:
+            break
+
+    result = {
+        "metric": f"QPS@0.9recall10_synth{N // 1000}K_1chip",
+        "value": round(best["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 4),
+        "recall": round(best["recall"], 2),
+        "L": best["L"],
+        "num_queries": Q,
+        "n_points": N,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
