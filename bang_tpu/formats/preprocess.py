@@ -115,6 +115,22 @@ def convert_diskann_index(
     return meta
 
 
+def preprocess_data_mips(data: np.ndarray) -> np.ndarray:
+    """MIPS data transform: append sqrt(M^2 - |x|^2) (M = max norm).
+
+    With queries transformed by `preprocess_queries_mips`, squared L2 in the
+    augmented space is 1 + M^2 - 2 <x, q>/|q| — monotone decreasing in the
+    inner product — so L2 graph search returns maximum-inner-product
+    neighbors. (DiskANN's standard MIPS reduction; the reference applies it
+    offline before index build, README.md / test_driver.cpp:280-336.)
+    """
+    x = data.astype(np.float32)
+    norms_sq = (x * x).sum(1, keepdims=True)
+    m_sq = norms_sq.max()
+    extra = np.sqrt(np.maximum(m_sq - norms_sq, 0.0))
+    return np.concatenate([x, extra], axis=1)
+
+
 def preprocess_queries_mips(queries: np.ndarray) -> np.ndarray:
     """MIPS query transform: L2-normalize and append a zero dimension.
 

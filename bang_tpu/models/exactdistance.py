@@ -29,13 +29,21 @@ def _search_exact_jit(adj, vectors, vector_norms, queries, medoid, l, k, max_ite
     queries_f32 = queries.astype(jnp.float32)
     distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms)
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
-    return final.wl_ids[:, :k], final.wl_dist[:, :k], final.it
+    return (
+        final.wl_ids[:, :k],
+        final.wl_dist[:, :k],
+        final.it,
+        final.n_expanded,
+        final.n_dist_comps,
+    )
 
 
 def search_exact(index: DeviceIndex, queries, params: SearchParams):
     """Batched exact-distance search. Returns (ids [Q,k] i32, dists [Q,k] f32,
-    iterations run)."""
-    ids, dists, iters = _search_exact_jit(
+    SearchStats)."""
+    from bang_tpu.models.traversal import SearchStats
+
+    ids, dists, iters, n_exp, n_dc = _search_exact_jit(
         index.adj,
         index.vectors,
         index.vector_norms,
@@ -46,4 +54,4 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
     )
-    return ids, dists, int(iters)
+    return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

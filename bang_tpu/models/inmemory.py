@@ -54,13 +54,15 @@ def _search_inmemory_jit(
         )
     else:
         ids, dists = final.wl_ids[:, :k], final.wl_dist[:, :k]
-    return ids, dists, final.it
+    return ids, dists, final.it, final.n_expanded, final.n_dist_comps
 
 
 def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
     """Batched PQ-traversal search with exact re-rank. Returns (ids [Q,k] i32,
-    dists [Q,k] f32 squared L2, iterations run)."""
-    ids, dists, iters = _search_inmemory_jit(
+    dists [Q,k] f32 squared L2, SearchStats)."""
+    from bang_tpu.models.traversal import SearchStats
+
+    ids, dists, iters, n_exp, n_dc = _search_inmemory_jit(
         index.adj,
         index.vectors,
         index.vector_norms,
@@ -75,4 +77,4 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         rerank=params.rerank,
         pq_impl=params.pq_impl,
     )
-    return ids, dists, int(iters)
+    return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

@@ -37,6 +37,18 @@ class TraversalState(NamedTuple):
     bloom: Optional[jnp.ndarray]  # [Q, BF] u8 or None (exact dedup mode)
     active: jnp.ndarray  # [Q] bool
     it: jnp.ndarray  # scalar i32
+    n_expanded: jnp.ndarray  # scalar i64 — total parents expanded
+    n_dist_comps: jnp.ndarray  # scalar i64 — total candidate distances computed
+    # (the Exactdistance reference reports this counter: parANN.cu:495-502)
+
+
+class SearchStats(NamedTuple):
+    """Host-side search statistics (reference: iteration prints + the
+    Exactdistance distance-computation counter, parANN.cu:971-972)."""
+
+    iters: int
+    n_expanded: int
+    n_dist_comps: int
 
 
 def init_state(
@@ -54,8 +66,10 @@ def init_state(
             jnp.ones((q, 1), jnp.bool_),
         )
     active = jnp.ones((q,), jnp.bool_)
+    zero = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
     return TraversalState(
-        wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, jnp.int32(1)
+        wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, jnp.int32(1),
+        zero, zero,
     )
 
 
@@ -83,7 +97,9 @@ def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool):
             jnp.where(active, parents, INVALID_ID)
         )
         return TraversalState(
-            wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, state.it + 1
+            wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, state.it + 1,
+            state.n_expanded + state.active.sum(dtype=state.n_expanded.dtype),
+            state.n_dist_comps + new.sum(dtype=state.n_dist_comps.dtype),
         )
 
     return step

@@ -135,7 +135,7 @@ def search_data_parallel(mesh: Mesh, index, queries: np.ndarray, params: SearchP
     from bang_tpu.models.index import DeviceIndex
 
     index_r = DeviceIndex(**index_d)
-    ids, dists, it = _search_inmemory_jit(
+    ids, dists, _it, _ne, _nd = _search_inmemory_jit(
         index_r.adj,
         index_r.vectors,
         index_r.vector_norms,

@@ -89,16 +89,16 @@ def main():
     best = None
     for L in (20, 30, 40, 50, 60, 80, 100, 130, 160, 200):
         params = SearchParams(L=L, k=K)
-        ids, dists, iters = search_inmemory(index, queries, params)  # compile+warm
+        ids, dists, stats = search_inmemory(index, queries, params)  # compile+warm
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            ids, dists, iters = search_inmemory(index, queries, params)
+            ids, dists, stats = search_inmemory(index, queries, params)
             times.append(time.perf_counter() - t0)
         recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
         qps = Q / min(times)
         print(
-            f"[bench] L={L} recall={recall:.2f} qps={qps:,.0f} iters={iters}",
+            f"[bench] L={L} recall={recall:.2f} qps={qps:,.0f} iters={stats.iters}",
             file=sys.stderr,
         )
         best = {"L": L, "recall": recall, "qps": qps}

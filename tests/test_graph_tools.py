@@ -1,0 +1,41 @@
+"""BFS / reachability / warmup utilities."""
+
+import numpy as np
+
+from bang_tpu.utils.graph_tools import bfs_from, reachable_fraction, warmup_touch
+
+
+def ring_adj(n, r=2):
+    adj = np.empty((n, r), np.int32)
+    adj[:, 0] = (np.arange(n) + 1) % n
+    adj[:, 1] = (np.arange(n) - 1) % n
+    return adj
+
+
+def test_bfs_ring():
+    adj = ring_adj(10)
+    order = bfs_from(adj, 0)
+    assert len(order) == 10 and order[0] == 0
+    assert set(order) == set(range(10))
+
+
+def test_bfs_max_nodes():
+    order = bfs_from(ring_adj(100), 5, max_nodes=7)
+    assert len(order) == 7
+
+
+def test_reachable_fraction_disconnected():
+    adj = ring_adj(10)
+    adj[4] = [3, 3]  # cut the ring one way
+    adj[6] = [7, 7]
+    frac = reachable_fraction(adj, 0)
+    assert 0 < frac <= 1.0
+
+
+def test_warmup_touch(tiny_index):
+    from bang_tpu.models.index import device_index_from_files
+
+    index = device_index_from_files(tiny_index["prefix"], variant="inmemory")
+    touched = warmup_touch(index, n_nodes=500)
+    assert touched == 500
+    assert reachable_fraction(np.asarray(index.adj), index.medoid) > 0.99

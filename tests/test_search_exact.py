@@ -23,10 +23,13 @@ def loaded(tiny_index):
 def test_exact_search_recall(loaded):
     index, queries, gt_ids, gt_dists = loaded
     params = SearchParams(L=64, k=10)
-    ids, dists, iters = search_exact(index, queries, params)
+    ids, dists, stats = search_exact(index, queries, params)
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 95.0, f"recall@10 too low: {recall}"
-    assert 0 < iters <= params.max_iters
+    assert 0 < stats.iters <= params.max_iters
+    assert stats.n_expanded > 0
+    # distance computations bounded by expanded parents * degree
+    assert 0 < stats.n_dist_comps <= stats.n_expanded * index.adj.shape[1]
     # distances ascending & exact for the returned ids
     d = np.asarray(dists)
     assert (np.diff(d, axis=1) >= -1e-4).all()

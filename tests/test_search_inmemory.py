@@ -23,7 +23,7 @@ def loaded(tiny_index):
 def test_inmemory_recall(loaded):
     index, queries, gt_ids, gt_dists = loaded
     params = SearchParams(L=64, k=10)
-    ids, dists, iters = search_inmemory(index, queries, params)
+    ids, dists, stats = search_inmemory(index, queries, params)
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 90.0, f"PQ+rerank recall@10 too low: {recall}"
     # re-ranked distances are exact squared L2 of the returned ids
