@@ -114,13 +114,21 @@ class BANGSearch:
 
     def _run(self, queries: np.ndarray):
         if self.variant == "base":
+            from bang_tpu.constants import ENABLE_GPU_STATS
+
+            self._searcher.timers.enabled = bool(
+                self._params.capabilities & ENABLE_GPU_STATS
+            )
+            self.last_stats = None
             return self._searcher.search(queries, self._params)
         if self.variant == "inmemory":
             from bang_tpu.models.inmemory import search_inmemory
 
-            ids, dists, _ = search_inmemory(self._index, queries, self._params)
+            ids, dists, stats = search_inmemory(self._index, queries, self._params)
+            self.last_stats = stats
             return ids, dists
         from bang_tpu.models.exactdistance import search_exact
 
-        ids, dists, _ = search_exact(self._index, queries, self._params)
+        ids, dists, stats = search_exact(self._index, queries, self._params)
+        self.last_stats = stats
         return ids, dists

@@ -32,9 +32,15 @@ from bang_tpu.utils.recall import calculate_recall
 DTYPE_MAP = {"float": np.float32, "float32": np.float32, "uint8": np.uint8, "int8": np.int8}
 
 
-def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps, visited_mode="exact"):
+def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps,
+          visited_mode="exact", stats=False):
     """Run one L value `reps` times; returns list of (wall_ms, qps, recall)."""
-    engine.bang_set_searchparams(k, L, visited_mode=visited_mode)
+    from bang_tpu.constants import ENABLE_GPU_STATS
+
+    engine.bang_set_searchparams(
+        k, L, visited_mode=visited_mode,
+        capabilities=ENABLE_GPU_STATS if stats else 0,
+    )
     engine.bang_alloc(queries.shape[0])
     rows = []
     for _ in range(reps):
@@ -45,6 +51,12 @@ def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps, visited_mod
         qps = queries.shape[0] / (wall_ms / 1000.0)
         recall = calculate_recall(gt_ids, ids, k, gt_dists)
         rows.append((wall_ms, qps, recall))
+        if stats and getattr(engine, "last_stats", None) is not None:
+            st = engine.last_stats
+            print(f"# stats: iters={st.iters} expanded={st.n_expanded} "
+                  f"dist_comps={st.n_dist_comps}")
+        if stats and engine.variant == "base":
+            print("# stage timers:\n" + engine._searcher.timers.report())
     engine.bang_free()
     return rows
 
@@ -68,6 +80,8 @@ def main(argv=None):
     p.add_argument("--target-recall", type=float, default=None,
                    help="auto mode: stop once recall reaches this value")
     p.add_argument("--visited-mode", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--stats", action="store_true",
+                   help="print per-run search statistics (ENABLE_GPU_STATS analog)")
     p.add_argument("--json", action="store_true", help="emit one JSON line per L")
     args = p.parse_args(argv)
 
@@ -101,11 +115,11 @@ def main(argv=None):
     print("L\twall_ms\tQPS\trecall\trep")
     if args.mode == "single":
         L = args.L or max(args.k, 10)
-        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode))
+        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats))
     elif args.mode == "auto":
         L = max(args.k, 10)
         while L <= args.max_L:
-            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode))
+            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats))
             if args.target_recall is not None and best[2] >= args.target_recall:
                 log_message(f"target recall {args.target_recall} reached at L={L}")
                 break
@@ -115,7 +129,7 @@ def main(argv=None):
             line = input("Enter L (or q to quit): ").strip()
             if line.lower() in ("q", "n", "quit", "exit", ""):
                 break
-            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode))
+            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats))
 
     engine.bang_unload()
     log_message("SEARCH END")

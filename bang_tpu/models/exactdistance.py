@@ -22,12 +22,18 @@ from bang_tpu.utils.config import SearchParams
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid")
+    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision")
 )
-def _search_exact_jit(adj, vectors, vector_norms, queries, medoid, l, k, max_iters, use_bloom):
+def _search_exact_jit(
+    adj, vectors, vector_norms, queries, medoid, l, k, max_iters, use_bloom,
+    precision="highest",
+):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
-    distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+    distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=prec)
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
     return (
         final.wl_ids[:, :k],
@@ -53,5 +59,6 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         k=params.k,
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
+        precision=params.traversal_precision,
     )
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

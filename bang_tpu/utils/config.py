@@ -32,6 +32,7 @@ class SearchParams:
     visited_mode: str = "exact"  # "exact" (worklist∪visited compare) | "bloom"
     rerank: bool = True  # exact re-rank of visited nodes (PQ variants)
     pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
+    traversal_precision: str = "highest"  # exact-path cross term: "highest"|"default"
     capabilities: int = 0  # ENABLE_GPU_STATS | ENABLE_CACHE_WARMUP bitmask
 
     def __post_init__(self):
@@ -43,6 +44,8 @@ class SearchParams:
             raise ValueError(f"unknown visited_mode {self.visited_mode!r}")
         if self.pq_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown pq_impl {self.pq_impl!r}")
+        if self.traversal_precision not in ("highest", "default"):
+            raise ValueError(f"unknown traversal_precision {self.traversal_precision!r}")
 
     @property
     def max_iters(self) -> int:
