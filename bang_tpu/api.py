@@ -75,7 +75,8 @@ class BANGSearch:
 
     def bang_alloc(self, num_queries: int) -> None:
         """Ahead-of-time compile the search program for this (Q, L, k) shape
-        so bang_query measures steady-state throughput."""
+        so bang_query measures steady-state throughput. Smaller batches are
+        later padded up to this shape (one compiled program serves them all)."""
         assert self._params is not None, "call bang_set_searchparams first"
         dim = self._dim()
         warm = np.zeros((num_queries, dim), np.float32)
@@ -92,8 +93,16 @@ class BANGSearch:
         queries = np.asarray(queries)
         if self.dist_func == ENUM_DIST_MIPS and queries.shape[1] == self._dim() - 1:
             queries = preprocess_queries_mips(queries)
+        nq = queries.shape[0]
+        if self._compiled_for is not None and nq < self._compiled_for[0]:
+            # pad to the compiled batch shape: no recompile for partial batches
+            pad = self._compiled_for[0] - nq
+            queries = np.concatenate([queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
         ids, dists = self._run(queries)
-        return np.asarray(ids).astype(RESULT_DTYPE), np.asarray(dists)
+        return (
+            np.asarray(ids)[:nq].astype(RESULT_DTYPE),
+            np.asarray(dists)[:nq],
+        )
 
     def bang_free(self) -> None:
         """Drop compiled-shape state (device search buffers are managed by

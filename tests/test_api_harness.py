@@ -98,3 +98,19 @@ def test_driver_auto_sweep_target(tiny_index, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("best") >= 1
+
+
+def test_facade_partial_batch_no_recompile(tiny_index):
+    """Batches smaller than bang_alloc's shape are padded, not recompiled."""
+    prefix = tiny_index["prefix"]
+    import numpy as np
+
+    queries = load_bin(prefix + "_query.bin", np.float32)
+    engine = BANGSearch(variant="exactdistance")
+    engine.bang_load(prefix)
+    engine.bang_set_searchparams(10, 32)
+    engine.bang_alloc(64)
+    ids_small, d_small = engine.bang_query(queries[:17])
+    assert ids_small.shape == (17, 10)
+    ids_full, _ = engine.bang_query(queries[:64])
+    np.testing.assert_array_equal(ids_small, ids_full[:17])
