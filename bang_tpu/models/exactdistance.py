@@ -22,11 +22,11 @@ from bang_tpu.utils.config import SearchParams
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision")
+    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam")
 )
 def _search_exact_jit(
     adj, vectors, vector_norms, queries, medoid, l, k, max_iters, use_bloom,
-    precision="highest",
+    precision="highest", beam=1,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -34,7 +34,7 @@ def _search_exact_jit(
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
     distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=prec)
-    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     return (
         final.wl_ids[:, :k],
         final.wl_dist[:, :k],
@@ -60,5 +60,6 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
         precision=params.traversal_precision,
+        beam=params.beam_width,
     )
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

@@ -27,7 +27,7 @@ from bang_tpu.utils.config import SearchParams
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank", "pq_impl"),
+    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank", "pq_impl", "beam"),
 )
 def _search_inmemory_jit(
     adj,
@@ -43,11 +43,12 @@ def _search_inmemory_jit(
     use_bloom,
     rerank,
     pq_impl="auto",
+    beam=1,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
     distance_fn = make_pq_distance_fn(queries_f32, codebook, codes, impl=pq_impl)
-    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     if rerank:
         ids, dists = rerank_topk(
             queries_f32, vectors, vector_norms, final.visited_ids, k
@@ -76,5 +77,6 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         use_bloom=params.visited_mode == "bloom",
         rerank=params.rerank,
         pq_impl=params.pq_impl,
+        beam=params.beam_width,
     )
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

@@ -5,9 +5,14 @@ bang_search.cu:701-958; BANG_Inmemory/parANN.cu:531-611): state is a pytree of
 fixed-shape [Q, ...] arrays, the do/while becomes `lax.while_loop`, the global
 `d_nextIter` flag becomes `active.any()`, and the per-iteration kernel
 sequence (neighbor fetch → visited filter → distance → sort → merge → parent
-select) becomes a fused XLA program over the whole query batch. One parent is
-expanded per query per iteration, exactly like the reference
-(SIZEPARENTLIST=2, bang_search.cu:56-58).
+select) becomes a fused XLA program over the whole query batch.
+
+Beam width: the reference expands exactly one parent per query per iteration
+(SIZEPARENTLIST=2, bang_search.cu:56-58) and notes multi-parent expansion as
+future work (:776-778). Here the beam width is a parameter: `beam` parents are
+expanded per iteration, which divides the sequential iteration count and
+amortizes the per-iteration sort/filter cost — the natural schedule for a
+wide-vector machine. beam=1 reproduces the reference schedule exactly.
 
 Distances during traversal are squared L2 (the reference never takes square
 roots; DiskANN ground truth is squared as well).
@@ -23,22 +28,23 @@ import jax.numpy as jnp
 from bang_tpu.constants import BF_ENTRIES, INVALID_ID
 from bang_tpu.ops.bloom import bloom_insert, bloom_query
 from bang_tpu.ops.l2 import l2_distance_to_candidates
-from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents_beam
 from bang_tpu.ops.pq import pq_distance_tables, pq_lookup
-from bang_tpu.ops.visited import exact_new_mask
+from bang_tpu.ops.visited import exact_new_mask, first_occurrence_mask
 
 
 class TraversalState(NamedTuple):
     wl_dist: jnp.ndarray  # [Q, L] f32
     wl_ids: jnp.ndarray  # [Q, L] i32
     wl_vis: jnp.ndarray  # [Q, L] bool
-    parents: jnp.ndarray  # [Q] i32 — selected last iteration, expanded next
-    visited_ids: jnp.ndarray  # [Q, MI] i32 — expansion order, INVALID padding
+    parents: jnp.ndarray  # [Q, P] i32 — selected last iteration, expanded next
+    parent_valid: jnp.ndarray  # [Q, P] bool
+    visited_ids: jnp.ndarray  # [Q, MI*P] i32 — expansion order, INVALID padding
     bloom: Optional[jnp.ndarray]  # [Q, BF] u8 or None (exact dedup mode)
     active: jnp.ndarray  # [Q] bool
     it: jnp.ndarray  # scalar i32
-    n_expanded: jnp.ndarray  # scalar i64 — total parents expanded
-    n_dist_comps: jnp.ndarray  # scalar i64 — total candidate distances computed
+    n_expanded: jnp.ndarray  # scalar — total parents expanded
+    n_dist_comps: jnp.ndarray  # scalar — total candidate distances computed
     # (the Exactdistance reference reports this counter: parANN.cu:495-502)
 
 
@@ -52,53 +58,66 @@ class SearchStats(NamedTuple):
 
 
 def init_state(
-    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool
+    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1
 ) -> TraversalState:
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
-    parents = jnp.full((q,), medoid, dtype=jnp.int32)
-    visited = jnp.full((q, max_iters), INVALID_ID, dtype=jnp.int32)
+    parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, 0].set(medoid)
+    parent_valid = jnp.zeros((q, beam), dtype=jnp.bool_).at[:, 0].set(True)
+    visited = jnp.full((q, max_iters * beam), INVALID_ID, dtype=jnp.int32)
     visited = visited.at[:, 0].set(medoid)
     bloom = None
     if use_bloom:
         bloom = bloom_insert(
             jnp.zeros((q, BF_ENTRIES), jnp.uint8),
-            parents[:, None],
+            jnp.full((q, 1), medoid, jnp.int32),
             jnp.ones((q, 1), jnp.bool_),
         )
     active = jnp.ones((q,), jnp.bool_)
     zero = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
     return TraversalState(
-        wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, jnp.int32(1),
-        zero, zero,
+        wl_dist, wl_ids, wl_vis, parents, parent_valid, visited, bloom, active,
+        jnp.int32(1), zero, zero,
     )
 
 
-def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool):
-    """Build the per-iteration body. `distance_fn(cand_ids) -> [Q, R] f32`."""
+def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
+    """Build the per-iteration body. `distance_fn(cand_ids) -> [Q, C] f32`."""
+    r = adj.shape[1]
 
     def step(state: TraversalState) -> TraversalState:
-        cand = adj[state.parents]  # [Q, R] adjacency gather
+        q = state.parents.shape[0]
+        cand = adj[state.parents].reshape(q, beam * r)  # adjacency gather
+        cand_valid = jnp.repeat(state.parent_valid, r, axis=1)
 
         if use_bloom:
             new = ~bloom_query(state.bloom, cand)
-            new = new & state.active[:, None]
-            bloom = bloom_insert(state.bloom, cand, new)
         else:
             new = exact_new_mask(cand, state.wl_ids, state.visited_ids)
-            new = new & state.active[:, None]
+        new = new & cand_valid & state.active[:, None]
+        if beam > 1:
+            # parents expanded together may share neighbors — keep first lane
+            new = new & first_occurrence_mask(cand)
+        if use_bloom:
+            bloom = bloom_insert(state.bloom, cand, new)
+        else:
             bloom = state.bloom
 
         dist = jnp.where(new, distance_fn(cand), jnp.inf)
         wl_dist, wl_ids, wl_vis = merge_worklist(
             state.wl_dist, state.wl_ids, state.wl_vis, dist, cand
         )
-        parents, active, wl_vis = select_parents(wl_dist, wl_ids, wl_vis)
-        visited = state.visited_ids.at[:, state.it].set(
-            jnp.where(active, parents, INVALID_ID)
+        parents, parent_valid, active, wl_vis = select_parents_beam(
+            wl_dist, wl_ids, wl_vis, beam
+        )
+        visited = jax.lax.dynamic_update_slice(
+            state.visited_ids,
+            jnp.where(parent_valid, parents, INVALID_ID),
+            (0, state.it * beam),
         )
         return TraversalState(
-            wl_dist, wl_ids, wl_vis, parents, visited, bloom, active, state.it + 1,
-            state.n_expanded + state.active.sum(dtype=state.n_expanded.dtype),
+            wl_dist, wl_ids, wl_vis, parents, parent_valid, visited, bloom, active,
+            state.it + 1,
+            state.n_expanded + state.parent_valid.sum(dtype=state.n_expanded.dtype),
             state.n_dist_comps + new.sum(dtype=state.n_dist_comps.dtype),
         )
 
@@ -113,10 +132,11 @@ def run_traversal(
     l: int,
     max_iters: int,
     use_bloom: bool,
+    beam: int = 1,
 ) -> TraversalState:
     """Run the full on-device while_loop; returns the final state."""
-    step = make_step(adj, distance_fn, use_bloom)
-    state = init_state(q, l, max_iters, medoid, use_bloom)
+    step = make_step(adj, distance_fn, use_bloom, beam)
+    state = init_state(q, l, max_iters, medoid, use_bloom, beam)
     return jax.lax.while_loop(
         lambda s: (s.it < max_iters) & s.active.any(),
         step,
@@ -129,7 +149,7 @@ def make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=None):
     (BANG_Exactdistance behavior, parANN.cu:1139-1179)."""
 
     def distance_fn(cand_ids):
-        vecs = vectors[cand_ids]  # [Q, R, D] gather
+        vecs = vectors[cand_ids]  # [Q, C, D] gather
         norms = vector_norms[cand_ids]
         return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
 
@@ -158,7 +178,7 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto"):
     else:
 
         def distance_fn(cand_ids):
-            cand_codes = codes[cand_ids]  # [Q, R, m] gather
+            cand_codes = codes[cand_ids]  # [Q, C, m] gather
             return pq_lookup(tables, cand_codes)
 
     return distance_fn

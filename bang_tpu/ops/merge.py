@@ -59,6 +59,36 @@ def merge_worklist(
     return sk, si, sv
 
 
+def select_parents_beam(
+    wl_dist: jnp.ndarray, wl_ids: jnp.ndarray, wl_vis: jnp.ndarray, beam: int
+):
+    """Pick the first `beam` unvisited worklist entries per query and mark
+    them visited.
+
+    Multi-parent expansion — the reference expands one parent per iteration
+    and notes wider expansion as future work (bang_search.cu:776-778); on TPU
+    a wider beam amortizes the per-iteration sort/filter cost and divides the
+    sequential iteration count. beam=1 reproduces the reference schedule.
+
+    Returns (parents [Q, beam] i32 — 0-filled where invalid; valid [Q, beam]
+    bool; active [Q] bool; updated wl_vis).
+    """
+    q, l = wl_vis.shape
+    unvis = ~wl_vis
+    pos = jax.lax.broadcasted_iota(jnp.int32, (q, l), 1)
+    # keys: earlier unvisited slots first; visited slots sink below -(l+1)
+    key = jnp.where(unvis, -pos, jnp.int32(-(l + 2)))
+    topk, topi = jax.lax.top_k(key, beam)
+    valid = topk > jnp.int32(-(l + 2))
+    parents = jnp.take_along_axis(wl_ids, topi, axis=1)
+    parents = jnp.where(valid, parents, 0)
+    rows = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, beam))
+    mark_idx = jnp.where(valid, topi, l)  # out-of-bounds lanes dropped
+    wl_vis = wl_vis.at[rows, mark_idx].set(True, mode="drop")
+    active = valid[:, 0]
+    return parents, valid, active, wl_vis
+
+
 def select_parents(wl_dist: jnp.ndarray, wl_ids: jnp.ndarray, wl_vis: jnp.ndarray):
     """Pick the next parent per query and mark it visited.
 

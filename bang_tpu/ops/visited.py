@@ -29,3 +29,17 @@ def exact_new_mask(
     in_wl = (cand_ids[:, :, None] == wl_ids[:, None, :]).any(-1)
     in_vis = (cand_ids[:, :, None] == visited_ids[:, None, :]).any(-1)
     return ~(in_wl | in_vis)
+
+
+def first_occurrence_mask(cand_ids: jnp.ndarray) -> jnp.ndarray:
+    """True where cand_ids[q, j] is the first occurrence in its row.
+
+    Needed for multi-parent (beam > 1) expansion: two parents expanded in the
+    same iteration may share a neighbor, and both lanes would pass the
+    visited-set test simultaneously (the reference never hits this — one
+    parent per query per iteration, duplicate-free adjacency rows).
+    """
+    eq = cand_ids[:, :, None] == cand_ids[:, None, :]  # [Q, C, C]
+    c = cand_ids.shape[1]
+    earlier = jnp.tril(jnp.ones((c, c), jnp.bool_), k=-1)[None]
+    return ~(eq & earlier).any(-1)

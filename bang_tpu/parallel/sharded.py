@@ -42,7 +42,7 @@ def make_mesh(data: int, model: int, devices=None) -> Mesh:
     return Mesh(dev_grid, ("data", "model"))
 
 
-def _local_search(adj, vectors, norms, codes, codebook, medoid, id_base, queries, *, l, k, max_iters, use_bloom):
+def _local_search(adj, vectors, norms, codes, codebook, medoid, id_base, queries, *, l, k, max_iters, use_bloom, beam=1):
     """Search one shard for one query slice; returns global-id top-k."""
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -50,7 +50,7 @@ def _local_search(adj, vectors, norms, codes, codebook, medoid, id_base, queries
         distance_fn = make_pq_distance_fn(queries_f32, codebook, codes)
     else:
         distance_fn = make_exact_distance_fn(queries_f32, vectors, norms)
-    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom)
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     ids, dists = rerank_topk(queries_f32, vectors, norms, final.visited_ids, k)
     return ids + id_base, dists
 
@@ -87,6 +87,7 @@ def search_sharded(
             k=params.k,
             max_iters=params.max_iters,
             use_bloom=use_bloom,
+            beam=params.beam_width,
         )
         # gather all shards' candidates and merge: [S, q_loc, k] → top-k
         all_ids = jax.lax.all_gather(ids, "model")

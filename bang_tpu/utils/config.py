@@ -30,6 +30,7 @@ class SearchParams:
     dist_func: int = ENUM_DIST_L2
     extra_iters: int = DEFAULT_EXTRA_ITERS
     visited_mode: str = "exact"  # "exact" (worklist∪visited compare) | "bloom"
+    beam_width: int = 1  # parents expanded per iteration (1 = reference schedule)
     rerank: bool = True  # exact re-rank of visited nodes (PQ variants)
     pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
     traversal_precision: str = "highest"  # exact-path cross term: "highest"|"default"
@@ -46,11 +47,15 @@ class SearchParams:
             raise ValueError(f"unknown pq_impl {self.pq_impl!r}")
         if self.traversal_precision not in ("highest", "default"):
             raise ValueError(f"unknown traversal_precision {self.traversal_precision!r}")
+        if not (1 <= self.beam_width <= 16):
+            raise ValueError(f"beam_width must be in [1, 16], got {self.beam_width}")
 
     @property
     def max_iters(self) -> int:
-        # Reference: maxIters = L + NAX_EXTRA_ITERATION (bang_search.cu:53, 370).
-        return self.L + self.extra_iters
+        # Reference: maxIters = L + NAX_EXTRA_ITERATION (bang_search.cu:53, 370)
+        # = the total expansion budget; a wider beam spends it in fewer
+        # sequential iterations.
+        return -(-(self.L + self.extra_iters) // self.beam_width)
 
 
 @dataclasses.dataclass(frozen=True)
