@@ -34,7 +34,7 @@ from bang_tpu.formats.graph import load_metadata, GRAPH_INDEX_FILE_SUFFIX
 from bang_tpu.formats.pq import load_pq
 from bang_tpu.native import gather_parents
 from bang_tpu.ops.bloom import bloom_insert, bloom_query
-from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents_beam
 from bang_tpu.ops.pq import pq_distance_tables, pq_lookup, prepare_pq_codebook
 from bang_tpu.ops.visited import exact_new_mask
 from bang_tpu.utils.config import SearchParams
@@ -45,17 +45,21 @@ class BaseState(NamedTuple):
     wl_dist: jnp.ndarray  # [Q, L]
     wl_ids: jnp.ndarray  # [Q, L]
     wl_vis: jnp.ndarray  # [Q, L]
-    visited_ids: jnp.ndarray  # [Q, MI]
-    l2_dists: jnp.ndarray  # [Q, MI] exact distances of expanded nodes
+    parent_valid: jnp.ndarray  # [Q, P]
+    visited_ids: jnp.ndarray  # [Q, MI*P]
+    l2_dists: jnp.ndarray  # [Q, MI*P] exact distances of expanded nodes
     bloom: Optional[jnp.ndarray]
     active: jnp.ndarray  # [Q]
     it: jnp.ndarray  # scalar i32
 
 
-def _init_state(q: int, l: int, max_iters: int, medoid: int, use_bloom: bool) -> BaseState:
+def _init_state(
+    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1
+) -> BaseState:
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
-    visited = jnp.full((q, max_iters), INVALID_ID, jnp.int32).at[:, 0].set(medoid)
-    l2d = jnp.full((q, max_iters), jnp.inf, jnp.float32)
+    parent_valid = jnp.zeros((q, beam), jnp.bool_).at[:, 0].set(True)
+    visited = jnp.full((q, max_iters * beam), INVALID_ID, jnp.int32).at[:, 0].set(medoid)
+    l2d = jnp.full((q, max_iters * beam), jnp.inf, jnp.float32)
     bloom = None
     if use_bloom:
         bloom = bloom_insert(
@@ -64,28 +68,43 @@ def _init_state(q: int, l: int, max_iters: int, medoid: int, use_bloom: bool) ->
             jnp.ones((q, 1), jnp.bool_),
         )
     return BaseState(
-        wl_dist, wl_ids, wl_vis, visited, l2d, bloom,
+        wl_dist, wl_ids, wl_vis, parent_valid, visited, l2d, bloom,
         jnp.ones((q,), jnp.bool_), jnp.int32(1),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_bloom", "pq_impl"), donate_argnums=(0,))
-def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom, pq_impl="xla"):
-    """One device iteration given host-gathered neighbors + parent vectors."""
-    # Exact distance of the parents being expanded now (their visited slot is
-    # it-1); replaces the deferred compute_L2Dist re-rank pass.
-    pd = ((parent_fp - queries_f32) ** 2).sum(-1)
-    l2d = state.l2_dists.at[:, state.it - 1].set(
-        jnp.where(state.active, pd, jnp.inf)
+@functools.partial(jax.jit, static_argnames=("use_bloom", "pq_impl", "beam"), donate_argnums=(0,))
+def _base_step(
+    state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom,
+    pq_impl="xla", beam=1,
+):
+    """One device iteration given host-gathered neighbors + parent vectors.
+
+    nbrs: [Q, P*R] (P parents' adjacency rows); parent_fp: [Q, P, D] f32.
+    """
+    from bang_tpu.ops.visited import first_occurrence_mask
+
+    # Exact distances of the parents being expanded now (their visited slots
+    # are (it-1)*P ...); replaces the deferred compute_L2Dist re-rank pass.
+    pd = ((parent_fp - queries_f32[:, None, :]) ** 2).sum(-1)  # [Q, P]
+    l2d = jax.lax.dynamic_update_slice(
+        state.l2_dists,
+        jnp.where(state.parent_valid & state.active[:, None], pd, jnp.inf),
+        (0, (state.it - 1) * beam),
     )
+    cand_valid = jnp.repeat(state.parent_valid, nbrs.shape[1] // beam, axis=1)
 
     if use_bloom:
         new = ~bloom_query(state.bloom, nbrs)
-        new = new & state.active[:, None]
+        new = new & cand_valid & state.active[:, None]
+        if beam > 1:
+            new = new & first_occurrence_mask(nbrs)
         bloom = bloom_insert(state.bloom, nbrs, new)
     else:
         new = exact_new_mask(nbrs, state.wl_ids, state.visited_ids)
-        new = new & state.active[:, None]
+        new = new & cand_valid & state.active[:, None]
+        if beam > 1:
+            new = new & first_occurrence_mask(nbrs)
         bloom = state.bloom
 
     if pq_impl == "pallas":
@@ -98,12 +117,17 @@ def _base_step(state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, us
     wl_dist, wl_ids, wl_vis = merge_worklist(
         state.wl_dist, state.wl_ids, state.wl_vis, dist, nbrs
     )
-    parents, active, wl_vis = select_parents(wl_dist, wl_ids, wl_vis)
-    visited = state.visited_ids.at[:, state.it].set(
-        jnp.where(active, parents, INVALID_ID)
+    parents, parent_valid, active, wl_vis = select_parents_beam(
+        wl_dist, wl_ids, wl_vis, beam
+    )
+    visited = jax.lax.dynamic_update_slice(
+        state.visited_ids,
+        jnp.where(parent_valid, parents, INVALID_ID),
+        (0, state.it * beam),
     )
     new_state = BaseState(
-        wl_dist, wl_ids, wl_vis, visited, l2d, bloom, active, state.it + 1
+        wl_dist, wl_ids, wl_vis, parent_valid, visited, l2d, bloom, active,
+        state.it + 1,
     )
     return new_state, parents, active.any()
 
@@ -175,17 +199,22 @@ class BaseVariantSearcher:
         if pq_impl == "auto":
             pq_impl = "pallas" if use_pallas_default() else "xla"
 
+        beam = params.beam_width
         sub_q = [jnp.asarray(queries[s]) for s in slices]
         tables = [pq_distance_tables(self.codebook, sq) for sq in sub_q]
         if pq_impl == "pallas":
             tables = [pack_tables(t) for t in tables]
         states = [
-            _init_state(sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom)
+            _init_state(
+                sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom, beam
+            )
             for sq in sub_q
         ]
         parents_host = [
-            np.full(sq.shape[0], self.meta.medoid, dtype=np.int32) for sq in sub_q
+            np.zeros((sq.shape[0], beam), dtype=np.int32) for sq in sub_q
         ]
+        for ph in parents_host:
+            ph[:, 0] = self.meta.medoid
         pending = [None] * nb  # (parents_dev, active_any_dev) in flight
         done = [False] * nb
 
@@ -204,16 +233,18 @@ class BaseVariantSearcher:
                         done[b] = True
                         continue
                 with self.timers.stage("host_gather"):
-                    nbrs, fp = self._host_gather(parents_host[b])
+                    nbrs, fp = self._host_gather(parents_host[b].reshape(-1))
+                q_b = parents_host[b].shape[0]
                 states[b], parents_dev, active_dev = _base_step(
                     states[b],
-                    jnp.asarray(nbrs),
-                    jnp.asarray(fp),
+                    jnp.asarray(nbrs.reshape(q_b, -1)),
+                    jnp.asarray(fp.reshape(q_b, beam, -1)),
                     sub_q[b],
                     tables[b],
                     self.codes,
                     use_bloom,
                     pq_impl,
+                    beam,
                 )
                 pending[b] = (parents_dev, active_dev)
                 progressed = True

@@ -77,3 +77,10 @@ def test_native_gather_matches_numpy(tiny_index):
 
     np.testing.assert_array_equal(nbrs_n, nbrs_p)
     np.testing.assert_allclose(vecs_n, vecs_p)
+
+
+def test_base_beam_recall(loaded):
+    searcher, queries, gt_ids, gt_dists = loaded
+    ids, _ = searcher.search(queries, SearchParams(L=64, k=10, beam_width=4))
+    recall = calculate_recall(gt_ids, ids, 10, gt_dists)
+    assert recall >= 90.0, f"base beam=4 recall@10: {recall}"
