@@ -114,9 +114,6 @@ def build_vamana_graph(
     the evolving graph — the build is itself a TPU workload.
     """
     from bang_tpu.formats.synthetic import medoid_of
-    from bang_tpu.models.index import build_device_index
-    from bang_tpu.formats.graph import GraphIndex
-    from bang_tpu.models.exactdistance import search_exact
     from bang_tpu.utils.config import SearchParams
 
     n = vectors.shape[0]
