@@ -44,14 +44,26 @@ def pack_tables(tables: jnp.ndarray) -> jnp.ndarray:
 def _lookup_kernel(tiles_q: int, m: int, r: int, tables_ref, codes_ref, out_ref):
     mr = tiles_q * m
     tab = tables_ref[...].reshape(mr, 128)
+
+    def gather_slice(idx):
+        # idx: [mr, 128] lane indices into the packed 256-entry tables
+        word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
+        shift = (idx & 1) << 4
+        half = (word >> shift) & jnp.int32(0xFFFF)
+        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
+        return vals.reshape(tiles_q, m, 128).sum(axis=1)  # [tiles_q, 128]
+
     ct = codes_ref[...].reshape(mr, r)
-    reps = -(-128 // r)
-    idx = jnp.concatenate([ct] * reps, axis=1)[:, :128]
-    word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
-    shift = (idx & 1) << 4
-    half = (word >> shift) & jnp.int32(0xFFFF)
-    vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
-    out_ref[...] = vals.reshape(tiles_q, m, 128).sum(axis=1)[:, :r]
+    if r <= 128:
+        reps = -(-128 // r)
+        idx = jnp.concatenate([ct] * reps, axis=1)[:, :128]
+        out_ref[...] = gather_slice(idx)[:, :r]
+    else:
+        # wide candidate batches (beam expansion): 128-lane slices
+        assert r % 128 == 0, "pad candidate count to a multiple of 128"
+        for s in range(r // 128):
+            idx = ct[:, s * 128 : (s + 1) * 128]
+            out_ref[:, s * 128 : (s + 1) * 128] = gather_slice(idx)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "interpret"))
@@ -68,8 +80,10 @@ def pq_lookup_packed(
     """
     q, m, _ = packed_tables.shape
     r = codes.shape[1]
-    assert r <= 128, f"R={r} exceeds one lane group"
+    r_pad = r if r <= 128 else -(-r // 128) * 128
     codes_t = jnp.swapaxes(codes.astype(jnp.int32), 1, 2)  # [Q, m, R]
+    if r_pad != r:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, 0), (0, r_pad - r)))
 
     q_pad = -(-q // tile_q) * tile_q
     if q_pad != q:
@@ -77,17 +91,17 @@ def pq_lookup_packed(
         codes_t = jnp.pad(codes_t, ((0, q_pad - q), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_lookup_kernel, tile_q, m, r),
+        functools.partial(_lookup_kernel, tile_q, m, r_pad),
         grid=(q_pad // tile_q,),
         in_specs=[
             pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, m, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, m, r_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_q, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, r), jnp.float32),
+        out_specs=pl.BlockSpec((tile_q, r_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, r_pad), jnp.float32),
         interpret=interpret,
     )(packed_tables, codes_t)
-    return out[:q]
+    return out[:q, :r]
 
 
 def use_pallas_default() -> bool:

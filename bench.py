@@ -28,15 +28,18 @@ R = int(os.environ.get("BENCH_R", 64))
 M = int(os.environ.get("BENCH_M", 64))
 Q = int(os.environ.get("BENCH_Q", 10_000))
 K = 10
+GRAPH = os.environ.get("BENCH_GRAPH", "pruned")  # "pruned" | "knn"
+BEAM = int(os.environ.get("BENCH_BEAM", 1))
 TARGET_RECALL = 90.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
-PREFIX = os.path.join(CACHE, f"synth_n{N}_d{D}_r{R}_m{M}")
+PREFIX = os.path.join(CACHE, f"synth_n{N}_d{D}_r{R}_m{M}_{GRAPH}")
 
 
 def build_index():
     from bang_tpu.formats import synthetic
     from bang_tpu.formats.accel import (
         build_knn_graph_jax,
+        build_pruned_knn_graph_jax,
         compute_groundtruth_jax,
         encode_pq_jax,
     )
@@ -47,7 +50,12 @@ def build_index():
     t0 = time.time()
     print(f"[bench] building synthetic index N={N} D={D} R={R} m={M}", file=sys.stderr)
     data = synthetic.make_clustered_data(N, D, n_clusters=1024, dtype=np.uint8, seed=0)
-    adj, degrees = build_knn_graph_jax(data, R, n_random=R // 8, seed=0, block=1024)
+    if GRAPH == "pruned":
+        adj, degrees = build_pruned_knn_graph_jax(
+            data, R, n_random=R // 8, seed=0, block=1024
+        )
+    else:
+        adj, degrees = build_knn_graph_jax(data, R, n_random=R // 8, seed=0, block=1024)
     print(f"[bench] graph built {time.time()-t0:.0f}s", file=sys.stderr)
     pq = synthetic.train_pq(data, M, seed=0)
     pq.codes = encode_pq_jax(data, pq)
@@ -88,7 +96,7 @@ def main():
 
     best = None
     for L in (20, 30, 40, 50, 60, 80, 100, 130, 160, 200):
-        params = SearchParams(L=L, k=K)
+        params = SearchParams(L=L, k=K, beam_width=BEAM)
         ids, dists, stats = search_inmemory(index, queries, params)  # compile+warm
         times = []
         for _ in range(3):
@@ -113,7 +121,7 @@ def main():
         "recall": round(best["recall"], 2),
         "L": best["L"],
         "num_queries": Q,
-        "n_points": N,
+        "n_points": N, "graph": GRAPH, "beam": BEAM,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

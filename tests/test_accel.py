@@ -42,3 +42,58 @@ def test_encode_pq_matches_numpy():
     codes_j = encode_pq_jax(data, pq, block=512)
     agree = (codes_np == codes_j).mean()
     assert agree > 0.995, agree
+
+
+def test_pruned_knn_graph_navigates_better():
+    """Alpha-pruned kNN graph should match or beat plain kNN recall at a
+    tight budget (the pruning keeps diverse/long edges)."""
+    import jax.numpy as jnp
+
+    from bang_tpu.formats.accel import build_pruned_knn_graph_jax
+    from bang_tpu.formats.graph import GraphIndex
+    from bang_tpu.models.index import build_device_index
+    from bang_tpu.models.exactdistance import search_exact
+    from bang_tpu.utils.config import SearchParams
+    from bang_tpu.utils.recall import calculate_recall
+
+    data = synthetic.make_clustered_data(8000, 32, n_clusters=40, seed=9)
+    rng = np.random.default_rng(10)
+    q = data[rng.integers(0, 8000, 128)].astype(np.float32) + rng.normal(
+        0, 0.05, (128, 32)
+    ).astype(np.float32)
+    gt_ids, gt_dists = synthetic.compute_groundtruth(data, q, 10)
+
+    params = SearchParams(L=24, k=10)
+
+    adj_p, deg_p = build_pruned_knn_graph_jax(data, 16, seed=2, block=512)
+    assert (adj_p >= 0).all() and (adj_p < 8000).all()
+    r_pruned = calculate_recall(
+        gt_ids,
+        np.asarray(
+            search_exact(
+                build_device_index(
+                    graph=GraphIndex(data, adj_p, deg_p, synthetic.medoid_of(data))
+                ),
+                q,
+                params,
+            )[0]
+        ),
+        10,
+        gt_dists,
+    )
+    adj_k, deg_k = build_knn_graph_jax(data, 16, n_random=4, seed=2, block=512)
+    r_knn = calculate_recall(
+        gt_ids,
+        np.asarray(
+            search_exact(
+                build_device_index(
+                    graph=GraphIndex(data, adj_k, deg_k, synthetic.medoid_of(data))
+                ),
+                q,
+                params,
+            )[0]
+        ),
+        10,
+        gt_dists,
+    )
+    assert r_pruned >= r_knn - 1.0, (r_pruned, r_knn)

@@ -30,3 +30,24 @@ def test_pack_tables_layout():
     hi = np.uint32(w >> 16) << 16
     assert lo.view(np.float32) == np.float32(jnp.bfloat16(6.0))
     assert hi.view(np.float32) == np.float32(jnp.bfloat16(7.0))
+
+
+def test_pq_lookup_packed_wide_candidates():
+    """Candidate axis > 128 lanes (beam expansion) splits into slices."""
+    rng = np.random.default_rng(1)
+    q, r, m = 16, 256, 8
+    tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 256, (q, r, m)).astype(np.uint8))
+    want = np.asarray(pq_lookup(tables, codes))
+    got = np.asarray(pq_lookup_packed(pack_tables(tables), codes, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
+
+
+def test_pq_lookup_packed_nonmultiple_wide():
+    rng = np.random.default_rng(2)
+    q, r, m = 8, 192, 4
+    tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 256, (q, r, m)).astype(np.uint8))
+    want = np.asarray(pq_lookup(tables, codes))
+    got = np.asarray(pq_lookup_packed(pack_tables(tables), codes, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
