@@ -32,7 +32,8 @@ GRAPH = os.environ.get("BENCH_GRAPH", "pruned")  # "pruned" | "knn"
 BEAM = int(os.environ.get("BENCH_BEAM", 1))
 TARGET_RECALL = 90.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
-PREFIX = os.path.join(CACHE, f"synth_n{N}_d{D}_r{R}_m{M}_{GRAPH}")
+DATA_VERSION = "v2"  # bump when make_clustered_data changes
+PREFIX = os.path.join(CACHE, f"synth_{DATA_VERSION}_n{N}_d{D}_r{R}_m{M}_{GRAPH}")
 
 
 def build_index():
