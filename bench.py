@@ -114,6 +114,25 @@ def main():
         if recall >= TARGET_RECALL:
             break
 
+    # serving-style p99 latency at the chosen operating point (128-query
+    # batches; the BASELINE.json secondary metric)
+    p99_ms = None
+    try:
+        serve_params = SearchParams(L=best["L"], k=K, beam_width=BEAM)
+        serve_batch = 128
+        warm = queries[:serve_batch]
+        params = serve_params
+        search_inmemory(index, warm, params)  # compile
+        lat = []
+        for i in range(30):
+            s = (i * serve_batch) % (Q - serve_batch)
+            t0 = time.perf_counter()
+            search_inmemory(index, queries[s : s + serve_batch], params)
+            lat.append((time.perf_counter() - t0) * 1000.0)
+        p99_ms = float(np.percentile(np.asarray(lat), 99))
+    except Exception as e:
+        print(f"[bench] p99 measurement failed: {e}", file=sys.stderr)
+
     result = {
         "metric": f"QPS@0.9recall10_synth{N // 1000}K_1chip",
         "value": round(best["qps"], 1),
@@ -123,6 +142,7 @@ def main():
         "L": best["L"],
         "num_queries": Q,
         "n_points": N, "graph": GRAPH, "beam": BEAM,
+        "p99_batch128_ms": None if p99_ms is None else round(p99_ms, 2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
