@@ -34,6 +34,7 @@ def _search_inmemory_jit(
     vectors,
     vector_norms,
     codes,
+    nbr_codes,
     codebook,
     queries,
     medoid,
@@ -47,7 +48,9 @@ def _search_inmemory_jit(
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
-    distance_fn = make_pq_distance_fn(queries_f32, codebook, codes, impl=pq_impl)
+    distance_fn = make_pq_distance_fn(
+        queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes
+    )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     if rerank:
         ids, dists = rerank_topk(
@@ -68,6 +71,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         index.vectors,
         index.vector_norms,
         index.codes,
+        index.nbr_codes,
         index.codebook,
         jnp.asarray(queries),
         medoid=index.medoid,

@@ -141,6 +141,7 @@ def search_data_parallel(mesh: Mesh, index, queries: np.ndarray, params: SearchP
         index_r.vectors,
         index_r.vector_norms,
         index_r.codes,
+        index_r.nbr_codes,
         index_r.codebook,
         queries_d,
         medoid=index.medoid,

@@ -61,3 +61,32 @@ def test_inmemory_uint8(tiny_uint8_index):
     ids, _, _ = search_inmemory(index, queries, SearchParams(L=64, k=10))
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 90.0, f"uint8 recall@10 too low: {recall}"
+
+
+def test_neighbor_codes_layout_matches(tiny_index):
+    """nbr_codes (gather-efficient layout) gives identical results."""
+    from bang_tpu.models.index import device_index_from_files
+
+    prefix = tiny_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    params = SearchParams(L=48, k=10)
+    idx_plain = device_index_from_files(prefix, neighbor_codes=False)
+    idx_nbr = device_index_from_files(prefix, neighbor_codes=True)
+    assert idx_nbr.nbr_codes is not None and idx_plain.nbr_codes is None
+    ids_a, d_a, _ = search_inmemory(idx_plain, queries, params)
+    ids_b, d_b, _ = search_inmemory(idx_nbr, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
+
+
+def test_neighbor_codes_beam_matches(tiny_index):
+    from bang_tpu.models.index import device_index_from_files
+
+    prefix = tiny_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    params = SearchParams(L=48, k=10, beam_width=4)
+    idx_plain = device_index_from_files(prefix, neighbor_codes=False)
+    idx_nbr = device_index_from_files(prefix, neighbor_codes=True)
+    ids_a, _, _ = search_inmemory(idx_plain, queries, params)
+    ids_b, _, _ = search_inmemory(idx_nbr, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
