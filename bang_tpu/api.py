@@ -78,6 +78,17 @@ class BANGSearch:
         so bang_query measures steady-state throughput. Smaller batches are
         later padded up to this shape (one compiled program serves them all)."""
         assert self._params is not None, "call bang_set_searchparams first"
+        from bang_tpu.constants import ENABLE_CACHE_WARMUP
+
+        if (
+            self._params.capabilities & ENABLE_CACHE_WARMUP
+            and self.variant != "base"
+        ):
+            # reference: BFS-discover nodes and touch their device arrays
+            # (parANN.cu:437-455); on TPU this pages HBM + validates reachability
+            from bang_tpu.utils.graph_tools import warmup_touch
+
+            warmup_touch(self._index)
         dim = self._dim()
         warm = np.zeros((num_queries, dim), np.float32)
         self._run(warm)

@@ -68,12 +68,23 @@ def _robust_prune_batch(p_vecs, cand_vecs, cand_dists, cand_valid, r, alpha):
     return sel_idx, sel_valid
 
 
-def _prune_to_ids(vectors, p_ids, cand_ids, r, alpha):
+@functools.partial(jax.jit, static_argnames=("r", "alpha"))
+def _prune_rows_device(vec_dev, p_ids, safe, valid, r, alpha):
+    """Device side of _prune_to_ids: gather vectors, distances, prune."""
+    p_vecs = vec_dev[p_ids]
+    cand_vecs = vec_dev[safe]
+    cand_dists = ((cand_vecs - p_vecs[:, None, :]) ** 2).sum(-1)
+    cand_dists = jnp.where(valid, cand_dists, jnp.inf)
+    return _robust_prune_batch(p_vecs, cand_vecs, cand_dists, valid, r, alpha)
+
+
+def _prune_to_ids(vec_dev, vectors, p_ids, cand_ids, r, alpha):
     """Run robust prune for a batch of points; returns [B, r] int32 neighbor
-    ids padded with the point's own id (the search-time convention)."""
-    p_vecs = jnp.asarray(vectors[p_ids].astype(np.float32))
-    valid = cand_ids >= 0
-    # dedup + drop self
+    ids padded with the point's own id (the search-time convention).
+
+    Candidate vectors are gathered on device from `vec_dev`; only ids cross
+    the host<->device link."""
+    # dedup + drop self (host-side id bookkeeping)
     cand_ids = np.where(cand_ids == p_ids[:, None], -1, cand_ids)
     sorted_c = np.sort(cand_ids, axis=1)
     dup = np.concatenate(
@@ -85,11 +96,13 @@ def _prune_to_ids(vectors, p_ids, cand_ids, r, alpha):
     valid = (cand_ids >= 0) & undup
 
     safe = np.maximum(cand_ids, 0)
-    cand_vecs = jnp.asarray(vectors[safe].astype(np.float32))
-    cand_dists = ((cand_vecs - p_vecs[:, None, :]) ** 2).sum(-1)
-    cand_dists = jnp.where(jnp.asarray(valid), cand_dists, jnp.inf)
-    sel_idx, sel_valid = _robust_prune_batch(
-        p_vecs, cand_vecs, cand_dists, jnp.asarray(valid), r, alpha
+    sel_idx, sel_valid = _prune_rows_device(
+        vec_dev,
+        jnp.asarray(p_ids.astype(np.int32)),
+        jnp.asarray(safe.astype(np.int32)),
+        jnp.asarray(valid),
+        r,
+        alpha,
     )
     sel_idx = np.asarray(sel_idx)
     sel_valid = np.asarray(sel_valid)
@@ -129,6 +142,19 @@ def build_vamana_graph(
     vec_dev = jnp.asarray(vectors.astype(np.float32))
     v64 = vectors.astype(np.float64)
     norms_dev = jnp.asarray((v64 * v64).sum(-1).astype(np.float32))
+    # device-resident adjacency, updated in place (donated scatter) — the
+    # host keeps a mirror for the reverse-edge bookkeeping; only the changed
+    # rows cross the host<->device link each batch.
+    adj_dev = jnp.asarray(adj)
+
+    @jax.jit
+    def _scatter_rows(adj_dev, rows, values):
+        return adj_dev.at[rows].set(values)
+
+    def update_rows(rows, values):
+        nonlocal adj_dev
+        adj[rows] = values
+        adj_dev = _scatter_rows(adj_dev, jnp.asarray(rows.astype(np.int32)), jnp.asarray(values))
 
     alphas = [1.0] * (n_passes - 1) + [alpha]
     params = SearchParams(
@@ -139,40 +165,53 @@ def build_vamana_graph(
         rng.shuffle(order)
         for s in range(0, n, batch):
             p_ids = order[s : s + batch]
+            if len(p_ids) < batch:  # keep one compiled shape
+                p_ids = np.concatenate([p_ids, order[: batch - len(p_ids)]])
             # visited set of a greedy search over the evolving graph =
             # Vamana's candidate pool
             q = jnp.asarray(vectors[p_ids].astype(np.float32))
             dist_fn = make_exact_distance_fn(q, vec_dev, norms_dev)
             final = run_traversal(
-                jnp.asarray(adj), dist_fn, medoid, len(p_ids), params.L,
+                adj_dev, dist_fn, medoid, len(p_ids), params.L,
                 params.max_iters, use_bloom=False,
             )
             visited = np.asarray(final.visited_ids)
             cand = np.concatenate([visited, adj[p_ids]], axis=1)
-            adj[p_ids] = _prune_to_ids(vectors, p_ids, cand, r, a)
+            update_rows(p_ids, _prune_to_ids(vec_dev, vectors, p_ids, cand, r, a))
 
             # reverse edges with overflow re-prune
-            _add_reverse_edges(vectors, adj, p_ids, r, a)
+            _add_reverse_edges(vec_dev, vectors, adj, p_ids, r, a, update_rows)
     return adj, degrees, medoid
 
 
-def _add_reverse_edges(vectors, adj, p_ids, r, alpha):
+def _add_reverse_edges(vec_dev, vectors, adj, p_ids, r, alpha, update_rows):
     """Insert p into each selected neighbor's list; re-prune overflowing
-    lists. In-place on adj."""
-    targets = {}
-    for p in p_ids:
-        for c in adj[p]:
-            c = int(c)
-            if c != p:
-                targets.setdefault(c, []).append(int(p))
-    if not targets:
+    lists (vectorized grouping, fixed-width candidate blocks)."""
+    src = np.repeat(p_ids.astype(np.int32), r)
+    dst = adj[p_ids].reshape(-1)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if len(dst) == 0:
         return
-    t_ids = np.fromiter(targets.keys(), dtype=np.int64)
-    # candidate pool per target: current list + incoming reverse edges
-    max_in = max(len(v) for v in targets.values())
-    cand = np.full((len(t_ids), r + max_in), -1, np.int32)
-    cand[:, :r] = adj[t_ids]
-    for j, t in enumerate(t_ids):
-        inc = targets[int(t)]
-        cand[j, r : r + len(inc)] = inc
-    adj[t_ids] = _prune_to_ids(vectors, t_ids.astype(np.int64), cand, r, alpha)
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    t_ids, starts, counts = np.unique(dst_s, return_index=True, return_counts=True)
+    # fixed incoming width keeps device shapes stable; overflow edges are
+    # dropped (they reappear from other batches / the next pass)
+    max_in = 2 * r
+    inc = np.full((len(t_ids), max_in), -1, np.int32)
+    col = np.arange(len(dst_s)) - starts.repeat(counts)
+    ok = col < max_in
+    row = np.repeat(np.arange(len(t_ids)), counts)
+    inc[row[ok], col[ok]] = src_s[ok]
+
+    t_ids = t_ids.astype(np.int64)
+    cand = np.concatenate([adj[t_ids], inc], axis=1)
+    # pad the target count to a power-of-two bucket: stable jit shapes
+    # (duplicated trailing rows are idempotent re-prunes)
+    cap = max(256, 1 << int(np.ceil(np.log2(len(t_ids)))))
+    if cap != len(t_ids):
+        pad = cap - len(t_ids)
+        t_ids = np.concatenate([t_ids, np.repeat(t_ids[-1:], pad)])
+        cand = np.concatenate([cand, np.repeat(cand[-1:], pad, axis=0)])
+    update_rows(t_ids, _prune_to_ids(vec_dev, vectors, t_ids, cand, r, alpha))
