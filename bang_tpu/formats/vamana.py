@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bang_tpu.constants import INVALID_ID
+
 
 
 @functools.partial(jax.jit, static_argnames=("r", "alpha"))

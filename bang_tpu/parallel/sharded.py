@@ -15,7 +15,6 @@ reference; collectives ride ICI via XLA):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

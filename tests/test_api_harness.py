@@ -114,3 +114,20 @@ def test_facade_partial_batch_no_recompile(tiny_index):
     assert ids_small.shape == (17, 10)
     ids_full, _ = engine.bang_query(queries[:64])
     np.testing.assert_array_equal(ids_small, ids_full[:17])
+
+
+def test_driver_interactive_mode(tiny_index, capsys, monkeypatch):
+    """Interactive L-prompt loop (reference: 'Try Next run? [y|n]')."""
+    prefix = tiny_index["prefix"]
+    inputs = iter(["32", "q"])
+    monkeypatch.setattr("builtins.input", lambda _: next(inputs))
+    rc = driver.main(
+        [
+            prefix, prefix + "_query.bin", prefix + "_gt.bin",
+            "32", "10", "float", "l2",
+            "--variant", "exactdistance", "--mode", "interactive", "--reps", "1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("best") == 1
