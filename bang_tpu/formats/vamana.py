@@ -160,10 +160,20 @@ def build_vamana_graph(
     params = SearchParams(
         L=l_build, k=1, extra_iters=16, traversal_precision="default"
     )
+    import sys
+    import time as _time
+
+    t_start = _time.time()
     order = np.arange(n)
-    for a in alphas:
+    for pass_i, a in enumerate(alphas):
         rng.shuffle(order)
         for s in range(0, n, batch):
+            if (s // batch) % 50 == 0:
+                print(
+                    f"[vamana] pass {pass_i} batch {s // batch}/{-(-n // batch)} "
+                    f"t={_time.time() - t_start:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
             p_ids = order[s : s + batch]
             if len(p_ids) < batch:  # keep one compiled shape
                 p_ids = np.concatenate([p_ids, order[: batch - len(p_ids)]])

@@ -51,7 +51,13 @@ def build_index():
     t0 = time.time()
     print(f"[bench] building synthetic index N={N} D={D} R={R} m={M}", file=sys.stderr)
     data = synthetic.make_clustered_data(N, D, n_clusters=1024, dtype=np.uint8, seed=0)
-    if GRAPH == "pruned":
+    if GRAPH == "vamana":
+        from bang_tpu.formats.vamana import build_vamana_graph
+
+        adj, degrees, _med = build_vamana_graph(
+            data, r=R, l_build=48, alpha=1.2, batch=4096, seed=0
+        )
+    elif GRAPH == "pruned":
         adj, degrees = build_pruned_knn_graph_jax(
             data, R, n_random=R // 8, seed=0, block=1024
         )
