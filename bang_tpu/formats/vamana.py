@@ -116,7 +116,7 @@ def build_vamana_graph(
     vectors: np.ndarray,
     r: int = 32,
     l_build: int = 48,
-    alpha: float = 1.2,
+    alpha: float = 1.44,  # on SQUARED distances; == DiskANN's 1.2 on plain
     batch: int = 1024,
     seed: int = 0,
     n_passes: int = 2,
@@ -131,10 +131,14 @@ def build_vamana_graph(
 
     n = vectors.shape[0]
     rng = np.random.default_rng(seed)
-    adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
-    self_hit = adj == np.arange(n, dtype=np.int32)[:, None]
-    adj[self_hit] = (adj[self_hit] + 1) % n
-    degrees = np.full(n, r, np.int32)
+    # start at half degree: the slack absorbs reverse-edge appends so that
+    # only overflowing nodes need a device re-prune (DiskANN's scheme)
+    r0 = max(1, r // 2)
+    adj = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
+    adj[:, :r0] = rng.integers(0, n, size=(n, r0), dtype=np.int32)
+    self_hit = adj[:, :r0] == np.arange(n, dtype=np.int32)[:, None]
+    adj[:, :r0][self_hit] = (adj[:, :r0][self_hit] + 1) % n
+    degrees = np.full(n, r0, np.int32)
     medoid = medoid_of(vectors)
 
     from bang_tpu.models.traversal import run_traversal, make_exact_distance_fn
@@ -187,41 +191,82 @@ def build_vamana_graph(
             )
             visited = np.asarray(final.visited_ids)
             cand = np.concatenate([visited, adj[p_ids]], axis=1)
-            update_rows(p_ids, _prune_to_ids(vec_dev, vectors, p_ids, cand, r, a))
+            new_rows = _prune_to_ids(vec_dev, vectors, p_ids, cand, r, a)
+            degrees[p_ids] = (new_rows != p_ids[:, None]).sum(1)
+            update_rows(p_ids, new_rows)
 
-            # reverse edges with overflow re-prune
-            _add_reverse_edges(vec_dev, vectors, adj, p_ids, r, a, update_rows)
+            # reverse edges: append into degree slack; prune only overflows
+            _add_reverse_edges(
+                vec_dev, vectors, adj, degrees, p_ids, r, a, update_rows
+            )
     return adj, degrees, medoid
 
 
-def _add_reverse_edges(vec_dev, vectors, adj, p_ids, r, alpha, update_rows):
-    """Insert p into each selected neighbor's list; re-prune overflowing
-    lists (vectorized grouping, fixed-width candidate blocks)."""
+def _add_reverse_edges(vec_dev, vectors, adj, degrees, p_ids, r, alpha, update_rows):
+    """Insert p into each selected neighbor's list. Targets with free slots
+    get a plain append (host scatter + device row update); only overflowing
+    targets pay a device re-prune (DiskANN's slack scheme)."""
     src = np.repeat(p_ids.astype(np.int32), r)
     dst = adj[p_ids].reshape(-1)
     keep = src != dst
     src, dst = src[keep], dst[keep]
     if len(dst) == 0:
         return
+    # drop (src -> dst) pairs where dst already lists src (duplicate edges
+    # would permanently waste degree slots)
+    fresh = ~(adj[dst] == src[:, None]).any(1)
+    src, dst = src[fresh], dst[fresh]
+    if len(dst) == 0:
+        return
     order = np.argsort(dst, kind="stable")
     dst_s, src_s = dst[order], src[order]
     t_ids, starts, counts = np.unique(dst_s, return_index=True, return_counts=True)
-    # fixed incoming width keeps device shapes stable; overflow edges are
-    # dropped (they reappear from other batches / the next pass)
-    max_in = 2 * r
-    inc = np.full((len(t_ids), max_in), -1, np.int32)
-    col = np.arange(len(dst_s)) - starts.repeat(counts)
-    ok = col < max_in
-    row = np.repeat(np.arange(len(t_ids)), counts)
-    inc[row[ok], col[ok]] = src_s[ok]
-
     t_ids = t_ids.astype(np.int64)
-    cand = np.concatenate([adj[t_ids], inc], axis=1)
-    # pad the target count to a power-of-two bucket: stable jit shapes
-    # (duplicated trailing rows are idempotent re-prunes)
-    cap = max(256, 1 << int(np.ceil(np.log2(len(t_ids)))))
-    if cap != len(t_ids):
-        pad = cap - len(t_ids)
-        t_ids = np.concatenate([t_ids, np.repeat(t_ids[-1:], pad)])
-        cand = np.concatenate([cand, np.repeat(cand[-1:], pad, axis=0)])
-    update_rows(t_ids, _prune_to_ids(vec_dev, vectors, t_ids, cand, r, alpha))
+
+    free = r - degrees[t_ids]
+    fits = counts <= free
+
+    # fast path: vectorized ragged append into the self-padded tail
+    if fits.any():
+        f_idx = np.flatnonzero(fits)
+        cnt = counts[f_idx]
+        row = np.repeat(f_idx, cnt)
+        col = np.concatenate([np.arange(c) for c in cnt]) if len(cnt) else np.empty(0, int)
+        flat_src = np.concatenate(
+            [src_s[starts[i] : starts[i] + counts[i]] for i in f_idx]
+        ) if len(f_idx) else np.empty(0, np.int32)
+        t_rows = t_ids[row]
+        adj[t_rows, degrees[t_rows] + col] = flat_src
+        degrees[t_ids[f_idx]] += cnt
+        up = t_ids[f_idx]
+        update_rows(_bucket_pad_ids(up), adj[_bucket_pad_ids(up)])
+
+    # slow path: overflowing targets get candidate pool = current + incoming
+    if (~fits).any():
+        o_idx = np.flatnonzero(~fits)
+        max_in = 2 * r
+        inc = np.full((len(o_idx), max_in), -1, np.int32)
+        for j, i in enumerate(o_idx):
+            c = min(int(counts[i]), max_in)
+            inc[j, :c] = src_s[starts[i] : starts[i] + c]
+        o_ids = t_ids[o_idx]
+        cand = np.concatenate([adj[o_ids], inc], axis=1)
+        cap = _bucket(len(o_ids))
+        if cap != len(o_ids):
+            pad = cap - len(o_ids)
+            o_ids = np.concatenate([o_ids, np.repeat(o_ids[-1:], pad)])
+            cand = np.concatenate([cand, np.repeat(cand[-1:], pad, axis=0)])
+        new_rows = _prune_to_ids(vec_dev, vectors, o_ids, cand, r, alpha)
+        degrees[o_ids] = (new_rows != o_ids[:, None]).sum(1)
+        update_rows(o_ids, new_rows)
+
+
+def _bucket(n: int) -> int:
+    return max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _bucket_pad_ids(ids: np.ndarray) -> np.ndarray:
+    cap = _bucket(len(ids))
+    if cap == len(ids):
+        return ids
+    return np.concatenate([ids, np.repeat(ids[-1:], cap - len(ids))])

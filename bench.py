@@ -55,7 +55,7 @@ def build_index():
         from bang_tpu.formats.vamana import build_vamana_graph
 
         adj, degrees, _med = build_vamana_graph(
-            data, r=R, l_build=48, alpha=1.2, batch=4096, seed=0
+            data, r=R, l_build=48, alpha=1.44, batch=4096, seed=0
         )
     elif GRAPH == "pruned":
         adj, degrees = build_pruned_knn_graph_jax(
