@@ -28,8 +28,8 @@ R = int(os.environ.get("BENCH_R", 64))
 M = int(os.environ.get("BENCH_M", 64))
 Q = int(os.environ.get("BENCH_Q", 10_000))
 K = 10
-GRAPH = os.environ.get("BENCH_GRAPH", "pruned")  # "pruned" | "knn"
-BEAM = int(os.environ.get("BENCH_BEAM", 1))
+GRAPH = os.environ.get("BENCH_GRAPH", "vamana")  # "vamana" | "pruned" | "knn"
+BEAM = int(os.environ.get("BENCH_BEAM", 2))
 TARGET_RECALL = 90.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 DATA_VERSION = "v2"  # bump when make_clustered_data changes
@@ -102,7 +102,7 @@ def main():
     gt_ids, gt_dists = gt_ids[:Q], gt_dists[:Q]
 
     best = None
-    for L in (20, 30, 40, 50, 60, 80, 100, 130, 160, 200):
+    for L in (12, 16, 20, 25, 30, 40, 50, 60, 80, 100, 130, 160, 200):
         params = SearchParams(L=L, k=K, beam_width=BEAM)
         ids, dists, stats = search_inmemory(index, queries, params)  # compile+warm
         times = []
