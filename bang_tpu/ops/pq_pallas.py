@@ -106,28 +106,20 @@ def pq_lookup_packed(
 
 def _lookup_kernel_t(tiles_q: int, p: int, m: int, r: int, tables_ref, codes_ref, out_ref):
     """Pre-transposed variant: codes arrive as [TQ, P, m, R] u8 — no XLA-side
-    astype/transpose pass. Parents are grouped to fill all 128 gather lanes
-    (e.g. two R=64 parents share one dynamic_gather)."""
+    astype/transpose pass (which costs ~2 ms/iter at Q=10K, C=128, m=64)."""
     mr = tiles_q * m
     tab = tables_ref[...].reshape(mr, 128)
-    g = max(1, 128 // r)  # parents per gather
-
-    def one_gather(idx):
+    reps = -(-128 // r)
+    for pp in range(p):
+        ct = codes_ref[:, pp].reshape(mr, r).astype(jnp.int32)
+        idx = jnp.concatenate([ct] * reps, axis=1)[:, :128]
         word = jnp.take_along_axis(tab, idx >> 1, axis=1)
         shift = (idx & 1) << 4
         half = (word >> shift) & jnp.int32(0xFFFF)
         vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
-        return vals.reshape(tiles_q, m, 128).sum(axis=1)  # [TQ, 128]
-
-    for base in range(0, p, g):
-        cnt = min(g, p - base)
-        parts = [
-            codes_ref[:, base + j].reshape(mr, r).astype(jnp.int32)
-            for j in range(cnt)
+        out_ref[:, pp * r : (pp + 1) * r] = vals.reshape(tiles_q, m, 128).sum(axis=1)[
+            :, :r
         ]
-        idx = jnp.concatenate(parts * (-(-128 // (cnt * r))), axis=1)[:, :128]
-        vals = one_gather(idx)
-        out_ref[:, base * r : (base + cnt) * r] = vals[:, : cnt * r]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "interpret"))
