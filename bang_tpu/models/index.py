@@ -27,9 +27,8 @@ class DeviceIndex(NamedTuple):
     vectors: Optional[jnp.ndarray]  # [N, D] original dtype
     vector_norms: Optional[jnp.ndarray]  # [N] f32 squared norms
     codes: Optional[jnp.ndarray]  # [N, m] uint8 PQ codes
-    nbr_codes: Optional[jnp.ndarray]  # [N, m, R] u8 — neighbors' codes, row-
-    # aligned per parent AND pre-transposed to the lookup-kernel layout
-    # (gather-efficient CAGRA-style; R x memory, zero per-iteration transposes)
+    nbr_codes: Optional[jnp.ndarray]  # [N, R, m] u8 — neighbors' codes, row-
+    # aligned per parent (gather-efficient CAGRA-style layout; R x memory)
     codebook: Optional[PQCodebook]
     medoid: int  # static
     n: int  # static
@@ -75,10 +74,8 @@ def build_device_index(
     if neighbor_codes:
         assert adj is not None and codes is not None
         import jax
-        import jax.numpy as _jnp
 
-        # one device gather + transpose: [N, R, m] -> [N, m, R]
-        nbr_codes = jax.jit(lambda c, a: _jnp.swapaxes(c[a], 1, 2))(codes, adj)
+        nbr_codes = jax.jit(lambda c, a: c[a])(codes, adj)  # one device gather
     assert medoid is not None, "medoid required"
     return DeviceIndex(
         adj=adj,

@@ -164,43 +164,34 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
     impl: "pallas" (TPU lane-gather kernel, bf16 tables — see ops/pq_pallas),
     "xla" (take_along_axis; fine on CPU, very slow on TPU), or "auto".
 
-    nbr_codes [N, m, R] (optional): neighbor-aligned, pre-transposed code
-    layout — candidate codes are fetched per PARENT as one contiguous
-    m*R-byte row instead of C scattered m-byte rows, already in the lookup
-    kernel's [m, R] orientation. The per-iteration gather drops from ~5 ms to
-    sub-ms at Q=10K, R=64, m=64 (TPU gathers hate sub-tile rows) and the
-    ~2 ms XLA astype+transpose pass disappears entirely.
+    nbr_codes [N, R, m] (optional): neighbor-aligned code layout — candidate
+    codes are fetched per PARENT as one contiguous R*m-byte row instead of R
+    scattered m-byte rows; the per-iteration gather drops from ~5 ms to
+    sub-ms at Q=10K, R=64, m=64 (TPU gathers hate sub-tile rows).
     """
-    from bang_tpu.ops.pq_pallas import (
-        pack_tables,
-        pq_lookup_packed,
-        pq_lookup_packed_t,
-        use_pallas_default,
-    )
+    from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed, use_pallas_default
 
     if impl == "auto":
         impl = "pallas" if use_pallas_default() else "xla"
     tables = pq_distance_tables(codebook, queries_f32)
 
+    def fetch_codes(cand_ids, parents):
+        if nbr_codes is not None and parents is not None:
+            q = cand_ids.shape[0]
+            m = nbr_codes.shape[-1]
+            return nbr_codes[parents].reshape(q, -1, m)  # aligned row gather
+        return codes[cand_ids]  # [Q, C, m] scattered gather
+
     if impl == "pallas":
         packed = pack_tables(tables)
 
         def distance_fn(cand_ids, parents=None):
-            if nbr_codes is not None and parents is not None:
-                return pq_lookup_packed_t(packed, nbr_codes[parents])
-            return pq_lookup_packed(packed, codes[cand_ids])
+            return pq_lookup_packed(packed, fetch_codes(cand_ids, parents))
 
     else:
 
         def distance_fn(cand_ids, parents=None):
-            if nbr_codes is not None and parents is not None:
-                q = cand_ids.shape[0]
-                m = nbr_codes.shape[1]
-                gathered = nbr_codes[parents]  # [Q, P, m, R]
-                cand_codes = jnp.moveaxis(gathered, 2, 3).reshape(q, -1, m)
-            else:
-                cand_codes = codes[cand_ids]  # [Q, C, m] scattered gather
-            return pq_lookup(tables, cand_codes)
+            return pq_lookup(tables, fetch_codes(cand_ids, parents))
 
     return distance_fn
 

@@ -104,60 +104,6 @@ def pq_lookup_packed(
     return out[:q, :r]
 
 
-def _lookup_kernel_t(tiles_q: int, p: int, m: int, r: int, tables_ref, codes_ref, out_ref):
-    """Pre-transposed variant: codes arrive as [TQ, P, m, R] u8 — no XLA-side
-    astype/transpose pass (which costs ~2 ms/iter at Q=10K, C=128, m=64)."""
-    mr = tiles_q * m
-    tab = tables_ref[...].reshape(mr, 128)
-    reps = -(-128 // r)
-    for pp in range(p):
-        ct = codes_ref[:, pp].reshape(mr, r).astype(jnp.int32)
-        idx = jnp.concatenate([ct] * reps, axis=1)[:, :128]
-        word = jnp.take_along_axis(tab, idx >> 1, axis=1)
-        shift = (idx & 1) << 4
-        half = (word >> shift) & jnp.int32(0xFFFF)
-        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
-        out_ref[:, pp * r : (pp + 1) * r] = vals.reshape(tiles_q, m, 128).sum(axis=1)[
-            :, :r
-        ]
-
-
-@functools.partial(jax.jit, static_argnames=("tile_q", "interpret"))
-def pq_lookup_packed_t(
-    packed_tables: jnp.ndarray,
-    codes_t: jnp.ndarray,
-    tile_q: int = DEFAULT_TILE_Q,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Lookup over pre-transposed neighbor codes.
-
-    packed_tables: [Q, m, 128] int32; codes_t: [Q, P, m, R] uint8 (gathered
-    from a [N, m, R] neighbor-code array — see DeviceIndex.nbr_codes).
-    Returns [Q, P*R] f32.
-    """
-    q, m, _ = packed_tables.shape
-    _, p, _, r = codes_t.shape
-    assert r <= 128, f"R={r} exceeds one lane group"
-
-    q_pad = -(-q // tile_q) * tile_q
-    if q_pad != q:
-        packed_tables = jnp.pad(packed_tables, ((0, q_pad - q), (0, 0), (0, 0)))
-        codes_t = jnp.pad(codes_t, ((0, q_pad - q), (0, 0), (0, 0), (0, 0)))
-
-    out = pl.pallas_call(
-        functools.partial(_lookup_kernel_t, tile_q, p, m, r),
-        grid=(q_pad // tile_q,),
-        in_specs=[
-            pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, p, m, r), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_q, p * r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, p * r), jnp.float32),
-        interpret=interpret,
-    )(packed_tables, codes_t)
-    return out[:q]
-
-
 def use_pallas_default() -> bool:
     """Pallas path on real TPU; XLA path elsewhere (CPU tests, interpreters)."""
     return jax.default_backend() == "tpu"

@@ -51,19 +51,3 @@ def test_pq_lookup_packed_nonmultiple_wide():
     want = np.asarray(pq_lookup(tables, codes))
     got = np.asarray(pq_lookup_packed(pack_tables(tables), codes, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
-
-
-def test_pq_lookup_packed_t_matches():
-    """Pre-transposed neighbor-codes kernel == reference lookup."""
-    rng = np.random.default_rng(3)
-    q, p, r, m = 16, 2, 24, 8
-    tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32))
-    codes_qcm = rng.integers(0, 256, (q, p * r, m)).astype(np.uint8)
-    want = np.asarray(pq_lookup(tables, jnp.asarray(codes_qcm)))
-    codes_t = jnp.asarray(
-        codes_qcm.reshape(q, p, r, m).transpose(0, 1, 3, 2)
-    )  # [Q, P, m, R]
-    from bang_tpu.ops.pq_pallas import pq_lookup_packed_t
-
-    got = np.asarray(pq_lookup_packed_t(pack_tables(tables), codes_t, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
