@@ -62,4 +62,5 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         precision=params.traversal_precision,
         beam=params.beam_width,
     )
+    iters, n_exp, n_dc = jax.device_get((iters, n_exp, n_dc))
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

@@ -83,4 +83,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         pq_impl=params.pq_impl,
         beam=params.beam_width,
     )
+    # ONE host round trip for the scalars (each int() would be a separate
+    # blocking device->host read — ~30 ms each through the axon tunnel)
+    iters, n_exp, n_dc = jax.device_get((iters, n_exp, n_dc))
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))
