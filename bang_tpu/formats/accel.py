@@ -155,6 +155,9 @@ def build_pruned_knn_graph_jax(
         adj[:, k_keep:] = rng.integers(0, n, size=(n, n_random), dtype=np.int32)
         self_hit = adj[:, k_keep:] == np.arange(n, dtype=np.int32)[:, None]
         adj[:, k_keep:][self_hit] = (adj[:, k_keep:][self_hit] + 1) % n
+    from bang_tpu.formats.synthetic import _dedup_rows_self
+
+    adj = _dedup_rows_self(adj)
     degrees = np.full(n, r, dtype=np.int32)
     return adj, degrees
 

@@ -58,6 +58,24 @@ def medoid_of(vectors: np.ndarray, block: int = 65536) -> int:
     return best_id
 
 
+
+def _dedup_rows_self(adj: np.ndarray) -> np.ndarray:
+    """Replace within-row duplicate ids by the row's own id (self-padding).
+
+    Graph adjacency rows must be duplicate-free (DiskANN guarantees this;
+    search-time intra-batch dedup relies on it)."""
+    n, r = adj.shape
+    sorted_idx = np.argsort(adj, axis=1, kind="stable")
+    sorted_vals = np.take_along_axis(adj, sorted_idx, axis=1)
+    dup_sorted = np.concatenate(
+        [np.zeros((n, 1), bool), sorted_vals[:, 1:] == sorted_vals[:, :-1]], axis=1
+    )
+    dup = np.zeros((n, r), bool)
+    np.put_along_axis(dup, sorted_idx, dup_sorted, axis=1)
+    self_ids = np.broadcast_to(np.arange(n, dtype=adj.dtype)[:, None], (n, r))
+    return np.where(dup, self_ids, adj)
+
+
 def build_knn_graph(
     vectors: np.ndarray,
     r: int,
@@ -86,6 +104,7 @@ def build_knn_graph(
         # avoid accidental self-loops in random edges
         self_hit = adj[:, k_nn:] == np.arange(n, dtype=np.int32)[:, None]
         adj[:, k_nn:][self_hit] = (adj[:, k_nn:][self_hit] + 1) % n
+    adj = _dedup_rows_self(adj)
     degrees = np.full(n, r, dtype=np.int32)
     return adj, degrees
 

@@ -82,7 +82,7 @@ def _base_step(
 
     nbrs: [Q, P*R] (P parents' adjacency rows); parent_fp: [Q, P, D] f32.
     """
-    from bang_tpu.ops.visited import first_occurrence_mask
+    from bang_tpu.ops.visited import first_occurrence_mask_blocks
 
     # Exact distances of the parents being expanded now (their visited slots
     # are (it-1)*P ...); replaces the deferred compute_L2Dist re-rank pass.
@@ -98,13 +98,13 @@ def _base_step(
         new = ~bloom_query(state.bloom, nbrs)
         new = new & cand_valid & state.active[:, None]
         if beam > 1:
-            new = new & first_occurrence_mask(nbrs)
+            new = new & first_occurrence_mask_blocks(nbrs, beam)
         bloom = bloom_insert(state.bloom, nbrs, new)
     else:
         new = exact_new_mask(nbrs, state.wl_ids, state.visited_ids)
         new = new & cand_valid & state.active[:, None]
         if beam > 1:
-            new = new & first_occurrence_mask(nbrs)
+            new = new & first_occurrence_mask_blocks(nbrs, beam)
         bloom = state.bloom
 
     if pq_impl == "pallas":

@@ -30,7 +30,7 @@ from bang_tpu.ops.bloom import bloom_insert, bloom_query
 from bang_tpu.ops.l2 import l2_distance_to_candidates
 from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents_beam
 from bang_tpu.ops.pq import pq_distance_tables, pq_lookup
-from bang_tpu.ops.visited import exact_new_mask, first_occurrence_mask
+from bang_tpu.ops.visited import exact_new_mask, first_occurrence_mask_blocks
 
 
 class TraversalState(NamedTuple):
@@ -97,7 +97,7 @@ def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
         new = new & cand_valid & state.active[:, None]
         if beam > 1:
             # parents expanded together may share neighbors — keep first lane
-            new = new & first_occurrence_mask(cand)
+            new = new & first_occurrence_mask_blocks(cand, beam)
         if use_bloom:
             bloom = bloom_insert(state.bloom, cand, new)
         else:

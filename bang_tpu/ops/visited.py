@@ -43,3 +43,24 @@ def first_occurrence_mask(cand_ids: jnp.ndarray) -> jnp.ndarray:
     c = cand_ids.shape[1]
     earlier = jnp.tril(jnp.ones((c, c), jnp.bool_), k=-1)[None]
     return ~(eq & earlier).any(-1)
+
+
+def first_occurrence_mask_blocks(cand_ids: jnp.ndarray, beam: int) -> jnp.ndarray:
+    """first_occurrence_mask specialized to beam-expansion structure.
+
+    Candidates come as `beam` per-parent blocks of width R; duplicates can
+    only occur ACROSS blocks (adjacency rows are duplicate-free and their
+    self-padding is filtered by the visited test). Comparing each block only
+    against earlier blocks does beam*(beam-1)/2 * R^2 work instead of C^2 —
+    half the compares at beam=2.
+    """
+    q, c = cand_ids.shape
+    r = c // beam
+    blocks = cand_ids.reshape(q, beam, r)
+    mask = jnp.ones((q, beam, r), jnp.bool_)
+    for b in range(1, beam):
+        dup = (
+            blocks[:, b, :, None] == blocks[:, :b].reshape(q, 1, b * r)
+        ).any(-1)
+        mask = mask.at[:, b].set(~dup)
+    return mask.reshape(q, c)

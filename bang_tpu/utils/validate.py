@@ -70,6 +70,12 @@ def validate_index(prefix: str, with_pq: bool = True, sample: int = 10000) -> Va
             errors.append("degree exceeds R in sampled rows")
         if (index.degrees[rows] == 0).any():
             warnings.append("zero-degree nodes present (unreachable)")
+        srt = np.sort(adj_sample, axis=1)
+        dup_rows = (
+            ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != rows[:, None])).any(1).sum()
+        )
+        if dup_rows:
+            errors.append(f"{dup_rows} sampled rows contain duplicate neighbor ids")
 
     chunks = 0
     if with_pq:

@@ -173,3 +173,20 @@ def test_ops_jit_compile():
     vis = jnp.full((2, 3), INVALID_ID, jnp.int32)
     parents, active = step(wl, cand_ids, cand_dist, vis)
     assert active.all()
+
+
+def test_first_occurrence_blocks_matches_full():
+    from bang_tpu.ops.visited import first_occurrence_mask, first_occurrence_mask_blocks
+
+    rng = np.random.default_rng(7)
+    cand = jnp.asarray(rng.integers(0, 30, (5, 4 * 6)).astype(np.int32))
+    full = np.asarray(first_occurrence_mask(cand))
+    blk = np.asarray(first_occurrence_mask_blocks(cand, 4))
+    # block variant must mask all cross-block duplicates the full variant
+    # masks; within-block duplicates are allowed to differ (see docstring)
+    c = np.asarray(cand)
+    for qi in range(5):
+        for j in range(24):
+            b = j // 6
+            cross_dup = c[qi, j] in c[qi, : b * 6]
+            assert blk[qi, j] == (not cross_dup)
