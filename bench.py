@@ -30,6 +30,7 @@ Q = int(os.environ.get("BENCH_Q", 10_000))
 K = 10
 GRAPH = os.environ.get("BENCH_GRAPH", "vamana")  # "vamana" | "pruned" | "knn"
 BEAM = int(os.environ.get("BENCH_BEAM", 2))
+EXTRA = int(os.environ.get("BENCH_EXTRA", 12))  # expansion budget beyond L
 TARGET_RECALL = 90.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 DATA_VERSION = "v2"  # bump when make_clustered_data changes
@@ -109,7 +110,7 @@ def main():
 
     best = None
     for L in (12, 16, 20, 25, 30, 40, 50, 60, 80, 100, 130, 160, 200):
-        params = SearchParams(L=L, k=K, beam_width=BEAM)
+        params = SearchParams(L=L, k=K, beam_width=BEAM, extra_iters=EXTRA)
         ids, dists, stats = search_inmemory(index, queries, params)  # compile+warm
         times = []
         for _ in range(3):
@@ -130,7 +131,7 @@ def main():
     # batches; the BASELINE.json secondary metric)
     p99_ms = None
     try:
-        serve_params = SearchParams(L=best["L"], k=K, beam_width=BEAM)
+        serve_params = SearchParams(L=best["L"], k=K, beam_width=BEAM, extra_iters=EXTRA)
         serve_batch = 128
         warm = queries[:serve_batch]
         params = serve_params
@@ -153,7 +154,7 @@ def main():
         "recall": round(best["recall"], 2),
         "L": best["L"],
         "num_queries": Q,
-        "n_points": N, "graph": GRAPH, "beam": BEAM,
+        "n_points": N, "graph": GRAPH, "beam": BEAM, "extra_iters": EXTRA,
         "p99_batch128_ms": None if p99_ms is None else round(p99_ms, 2),
         "backend": jax.default_backend(),
     }
