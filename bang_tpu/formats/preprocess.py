@@ -147,16 +147,35 @@ def preprocess_queries_mips(queries: np.ndarray) -> np.ndarray:
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("index_file", help="DiskANN _disk.index path")
-    p.add_argument("out_bin", help="output _disk.bin path (prefix derived from it)")
-    p.add_argument("dim", type=int)
-    p.add_argument("dtype", type=int, help="0=int8 1=uint8 2=float32")
-    p.add_argument("degree", type=int)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="DiskANN _disk.index -> packed bin + metadata")
+    c.add_argument("index_file", help="DiskANN _disk.index path")
+    c.add_argument("out_bin", help="output _disk.bin path (prefix derived from it)")
+    c.add_argument("dim", type=int)
+    c.add_argument("dtype", type=int, help="0=int8 1=uint8 2=float32")
+    c.add_argument("degree", type=int)
+
+    # reference: test_driver preprocess mode (argc==3) normalizes MIPS queries
+    # and appends the zero dimension (test_driver.cpp:566-571, 280-336)
+    q = sub.add_parser("mips-queries", help="normalize queries + append 0 dim")
+    q.add_argument("in_bin")
+    q.add_argument("out_bin")
+
     args = p.parse_args(argv)
-    out = args.out_bin
-    prefix = out[: -len("_disk.bin")] if out.endswith("_disk.bin") else out
-    meta = convert_diskann_index(args.index_file, prefix, args.dim, args.dtype, args.degree)
-    print(f"converted: {meta}")
+    if args.cmd == "convert":
+        out = args.out_bin
+        prefix = out[: -len("_disk.bin")] if out.endswith("_disk.bin") else out
+        meta = convert_diskann_index(
+            args.index_file, prefix, args.dim, args.dtype, args.degree
+        )
+        print(f"converted: {meta}")
+    else:
+        from bang_tpu.formats.bin_io import load_bin, save_bin
+
+        queries = load_bin(args.in_bin, np.float32)
+        save_bin(args.out_bin, preprocess_queries_mips(queries))
+        print(f"wrote {args.out_bin}: {queries.shape[0]} queries, dim+1")
 
 
 if __name__ == "__main__":

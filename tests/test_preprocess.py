@@ -79,3 +79,18 @@ def test_convert_diskann_index(tmp_path):
         got = out.adj[i][: out.degrees[i]]
         assert sorted(set(int(x) for x in adj_lists[i])) == sorted(got)
         assert (out.adj[i][out.degrees[i] :] == i).all()
+
+
+def test_preprocess_cli_subcommands(tmp_path):
+    from bang_tpu.formats import preprocess as pp
+    from bang_tpu.formats.bin_io import load_bin, save_bin
+
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(6, 5)).astype(np.float32)
+    src = tmp_path / "q.bin"
+    dst = tmp_path / "q_mips.bin"
+    save_bin(src, q)
+    pp.main(["mips-queries", str(src), str(dst)])
+    out = load_bin(dst, np.float32)
+    assert out.shape == (6, 6)
+    np.testing.assert_allclose(np.linalg.norm(out[:, :5], axis=1), 1.0, rtol=1e-5)
