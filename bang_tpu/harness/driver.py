@@ -33,12 +33,12 @@ DTYPE_MAP = {"float": np.float32, "float32": np.float32, "uint8": np.uint8, "int
 
 
 def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps,
-          visited_mode="exact", stats=False):
+          visited_mode="exact", stats=False, beam=1, extra_iters=50):
     """Run one L value `reps` times; returns list of (wall_ms, qps, recall)."""
     from bang_tpu.constants import ENABLE_GPU_STATS
 
     engine.bang_set_searchparams(
-        k, L, visited_mode=visited_mode,
+        k, L, visited_mode=visited_mode, beam_width=beam, extra_iters=extra_iters,
         capabilities=ENABLE_GPU_STATS if stats else 0,
     )
     engine.bang_alloc(queries.shape[0])
@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--target-recall", type=float, default=None,
                    help="auto mode: stop once recall reaches this value")
     p.add_argument("--visited-mode", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--beam", type=int, default=1, help="parents expanded per iteration")
+    p.add_argument("--extra-iters", type=int, default=50,
+                   help="expansion budget beyond L (reference: 50)")
     p.add_argument("--stats", action="store_true",
                    help="print per-run search statistics (ENABLE_GPU_STATS analog)")
     p.add_argument("--json", action="store_true", help="emit one JSON line per L")
@@ -115,11 +118,11 @@ def main(argv=None):
     print("L\twall_ms\tQPS\trecall\trep")
     if args.mode == "single":
         L = args.L or max(args.k, 10)
-        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats))
+        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
     elif args.mode == "auto":
         L = max(args.k, 10)
         while L <= args.max_L:
-            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats))
+            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
             if args.target_recall is not None and best[2] >= args.target_recall:
                 log_message(f"target recall {args.target_recall} reached at L={L}")
                 break
@@ -129,7 +132,7 @@ def main(argv=None):
             line = input("Enter L (or q to quit): ").strip()
             if line.lower() in ("q", "n", "quit", "exit", ""):
                 break
-            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats))
+            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
 
     engine.bang_unload()
     log_message("SEARCH END")
