@@ -94,6 +94,9 @@ def build_knn_graph_jax(
         adj[:, k_nn:] = rng.integers(0, n, size=(n, n_random), dtype=np.int32)
         self_hit = adj[:, k_nn:] == np.arange(n, dtype=np.int32)[:, None]
         adj[:, k_nn:][self_hit] = (adj[:, k_nn:][self_hit] + 1) % n
+    from bang_tpu.formats.synthetic import _dedup_rows_self
+
+    adj = _dedup_rows_self(adj)
     degrees = np.full(n, r, dtype=np.int32)
     return adj, degrees
 

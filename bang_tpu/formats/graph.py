@@ -104,7 +104,6 @@ def save_graph_index(prefix: str | os.PathLike, index: GraphIndex) -> None:
     prefix = str(prefix)
     meta = index.metadata()
     n, dim, r = index.n, index.dim, index.r
-    vec_bytes = index.vectors.reshape(n, -1).view(np.uint8)
     vec_bytes = np.ascontiguousarray(index.vectors).view(np.uint8).reshape(n, -1)
 
     # Neighbor block: sorted valid entries first, zero padding after.
@@ -133,7 +132,10 @@ def load_graph_index(prefix: str | os.PathLike, mmap: bool = False) -> GraphInde
     """Load `<prefix>_disk.bin` + metadata into a GraphIndex.
 
     With mmap=True the packed record file is memory-mapped (host-RAM graph for
-    the billion-scale Base variant); vectors/adj then are strided views into it.
+    the billion-scale Base variant); vectors are strided views into it, while
+    adjacency/degrees are decoded copies (their int32 columns are unaligned in
+    the packed record). For billion-scale use, BaseVariantSearcher reads the
+    raw mmap directly and never calls this with mmap=True.
     """
     prefix = str(prefix)
     meta = load_metadata(prefix + GRAPH_METADATA_FILE_SUFFIX)
@@ -169,7 +171,7 @@ def load_graph_index(prefix: str | os.PathLike, mmap: bool = False) -> GraphInde
     # Load-time sanity, like the reference's first/last-neighbor asserts
     # (BANG_Base/bang_search.cu:330-346).
     if n > 0:
-        assert 0 <= adj[0, 0] <= n, "first adjacency entry out of range"
-        assert 0 <= adj[-1, -1] <= n, "last adjacency entry out of range"
+        assert 0 <= adj[0, 0] < n, "first adjacency entry out of range"
+        assert 0 <= adj[-1, -1] < n, "last adjacency entry out of range"
 
     return GraphIndex(vectors=vectors, adj=adj, degrees=degrees, medoid=meta.medoid)

@@ -248,7 +248,14 @@ def build_synthetic_index(
     pq.codes = encode_pq(data, pq)
     save_pq(prefix, pq)
 
-    gt_ids, gt_dists = compute_groundtruth(data, queries, k)
+    # query files carry the dataset dtype, like the reference's; quantize
+    # FIRST so the ground truth matches the stored query values exactly
+    dtype = np.dtype(dtype)
+    if dtype == np.uint8:
+        queries = np.clip(np.rint(queries), 0, 255).astype(np.uint8)
+    elif dtype == np.int8:
+        queries = np.clip(np.rint(queries), -127, 127).astype(np.int8)
+    gt_ids, gt_dists = compute_groundtruth(data, queries.astype(np.float32), k)
     save_bin(prefix + "_query.bin", queries)
     save_truthset(prefix + "_gt.bin", gt_ids, gt_dists)
     return {

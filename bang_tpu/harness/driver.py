@@ -25,7 +25,7 @@ import numpy as np
 
 from bang_tpu.api import BANGSearch
 from bang_tpu.constants import ENUM_DIST_L2, ENUM_DIST_MIPS, MAX_L
-from bang_tpu.formats.bin_io import load_bin, load_truthset
+from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
 from bang_tpu.utils.logging import log_message
 from bang_tpu.utils.recall import calculate_recall
 
@@ -94,8 +94,9 @@ def main(argv=None):
     engine.bang_load(args.index_prefix)
     log_message("LOAD DONE")
 
-    # queries: element dtype matches the dataset; search always runs f32
-    queries = load_bin(args.query_file, DTYPE_MAP[args.dtype])[: args.num_queries]
+    # queries: element dtype matches the dataset (size-probed for f32
+    # tooling output); search always runs f32
+    queries = load_bin_auto(args.query_file, DTYPE_MAP[args.dtype])[: args.num_queries]
     queries = queries.astype(np.float32)
     gt_ids, gt_dists = load_truthset(args.gt_file)
     gt_ids, gt_dists = gt_ids[: args.num_queries], gt_dists[: args.num_queries]

@@ -28,16 +28,16 @@ class SearchServer:
         batch_size: int = 1024,
         params: SearchParams | None = None,
     ):
+        import dataclasses
+
         self.batch_size = batch_size
         self.params = params or SearchParams()
-        self.engine = BANGSearch(variant=variant)
+        self.engine = BANGSearch(variant=variant, dist_func=self.params.dist_func)
         self.engine.bang_load(index_prefix)
-        self.engine.bang_set_searchparams(
-            self.params.k,
-            self.params.L,
-            visited_mode=self.params.visited_mode,
-            beam_width=self.params.beam_width,
-        )
+        extra = dataclasses.asdict(self.params)
+        for consumed in ("L", "k", "dist_func"):
+            extra.pop(consumed)
+        self.engine.bang_set_searchparams(self.params.k, self.params.L, **extra)
         self.engine.bang_alloc(batch_size)
         self.latencies_ms: list[float] = []
 

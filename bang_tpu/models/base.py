@@ -187,6 +187,7 @@ class BaseVariantSearcher:
     def search(self, queries: np.ndarray, params: SearchParams):
         """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32)."""
         queries = np.asarray(queries, dtype=np.float32)
+        self.timers.ms.clear()  # per-search stage breakdown
         q_total = queries.shape[0]
         nb = min(self.n_pipeline_batches, q_total)
         use_bloom = params.visited_mode == "bloom"

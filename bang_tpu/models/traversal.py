@@ -58,9 +58,16 @@ class SearchStats(NamedTuple):
 
 
 def init_state(
-    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1
+    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1,
+    medoid_dist=None,
 ) -> TraversalState:
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
+    if medoid_dist is not None:
+        # seed the worklist with the (already-visited) entry point so that
+        # no-rerank paths can return it when it is a true nearest neighbor
+        wl_dist = wl_dist.at[:, 0].set(medoid_dist)
+        wl_ids = wl_ids.at[:, 0].set(medoid)
+        wl_vis = wl_vis.at[:, 0].set(True)
     parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, 0].set(medoid)
     parent_valid = jnp.zeros((q, beam), dtype=jnp.bool_).at[:, 0].set(True)
     visited = jnp.full((q, max_iters * beam), INVALID_ID, dtype=jnp.int32)
@@ -137,7 +144,8 @@ def run_traversal(
 ) -> TraversalState:
     """Run the full on-device while_loop; returns the final state."""
     step = make_step(adj, distance_fn, use_bloom, beam)
-    state = init_state(q, l, max_iters, medoid, use_bloom, beam)
+    medoid_dist = distance_fn(jnp.full((q, 1), medoid, jnp.int32), None)[:, 0]
+    state = init_state(q, l, max_iters, medoid, use_bloom, beam, medoid_dist)
     return jax.lax.while_loop(
         lambda s: (s.it < max_iters) & s.active.any(),
         step,

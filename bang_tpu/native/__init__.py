@@ -134,9 +134,12 @@ def gather_parents(
 
     Returns (nbrs [Q, r] int32 padded with parent id, vecs [Q, d] f32 or None).
     """
+    q = len(parents)
     if n_threads <= 0:
         n_threads = min(32, os.cpu_count() or 1)
-    q = len(parents)
+    # don't spawn more threads than 256-row work blocks (thread churn beats
+    # the memcpy cost for small parent batches)
+    n_threads = max(1, min(n_threads, q // 256 or 1))
     out_nbrs = np.empty((q, r), dtype=np.int32)
     out_vecs = np.empty((q, d), dtype=np.float32) if with_vecs else None
     parents = np.ascontiguousarray(parents, dtype=np.int32)

@@ -34,10 +34,9 @@ def exact_new_mask(
 def first_occurrence_mask(cand_ids: jnp.ndarray) -> jnp.ndarray:
     """True where cand_ids[q, j] is the first occurrence in its row.
 
-    Needed for multi-parent (beam > 1) expansion: two parents expanded in the
-    same iteration may share a neighbor, and both lanes would pass the
-    visited-set test simultaneously (the reference never hits this — one
-    parent per query per iteration, duplicate-free adjacency rows).
+    Generic O(C^2) variant — kept as the reference/oracle implementation for
+    tests; the search path uses first_occurrence_mask_blocks (below), which
+    exploits the beam-block structure for half the compares.
     """
     eq = cand_ids[:, :, None] == cand_ids[:, None, :]  # [Q, C, C]
     c = cand_ids.shape[1]

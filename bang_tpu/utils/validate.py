@@ -18,7 +18,6 @@ from bang_tpu.constants import PQ_NUM_CENTERS
 from bang_tpu.formats.graph import (
     GRAPH_INDEX_FILE_SUFFIX,
     GRAPH_METADATA_FILE_SUFFIX,
-    load_graph_index,
     load_metadata,
 )
 from bang_tpu.formats.pq import PQ_COMPRESSED_FILE_SUFFIX, PQ_PIVOTS_FILE_SUFFIX, load_pq
@@ -60,17 +59,27 @@ def validate_index(prefix: str, with_pq: bool = True, sample: int = 10000) -> Va
         errors.append(f"medoid {meta.medoid} out of range [0, {meta.n})")
 
     if not errors:
-        index = load_graph_index(prefix, mmap=True)
+        # sample rows straight off the memory-mapped record file — decoding
+        # the whole adjacency would materialize n*R*4 bytes (256 GB at 1B)
+        raw = np.memmap(graph_path, dtype=np.uint8, mode="r", shape=(meta.n, meta.entry_len))
+        vec_nbytes = meta.dim * meta.numpy_dtype.itemsize
         rng = np.random.default_rng(0)
-        rows = rng.integers(0, meta.n, min(sample, meta.n))
-        adj_sample = index.adj[rows]
-        if adj_sample.min() < 0 or adj_sample.max() >= meta.n:
+        rows = np.sort(rng.integers(0, meta.n, min(sample, meta.n)))
+        recs = np.asarray(raw[rows])  # copies only the sampled records
+        degrees = recs[:, vec_nbytes : vec_nbytes + 4].copy().view("<u4").reshape(-1)
+        nbrs = (
+            recs[:, vec_nbytes + 4 :].copy().view("<u4").reshape(len(rows), meta.degree)
+        )
+        col = np.arange(meta.degree)[None, :]
+        valid = col < np.minimum(degrees, meta.degree)[:, None]
+        adj_sample = np.where(valid, nbrs, rows[:, None].astype(np.uint32))
+        if adj_sample.max() >= meta.n:
             errors.append("adjacency ids out of range in sampled rows")
-        if (index.degrees[rows] > meta.degree).any():
+        if (degrees > meta.degree).any():
             errors.append("degree exceeds R in sampled rows")
-        if (index.degrees[rows] == 0).any():
+        if (degrees == 0).any():
             warnings.append("zero-degree nodes present (unreachable)")
-        srt = np.sort(adj_sample, axis=1)
+        srt = np.sort(adj_sample.astype(np.int64), axis=1)
         dup_rows = (
             ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != rows[:, None])).any(1).sum()
         )

@@ -91,7 +91,7 @@ def main():
     if not os.path.exists(PREFIX + "_gt.bin"):
         build_index()
 
-    from bang_tpu.formats.bin_io import load_bin, load_truthset
+    from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
     from bang_tpu.models.index import device_index_from_files
     from bang_tpu.models.inmemory import search_inmemory
     from bang_tpu.utils.config import SearchParams
@@ -100,7 +100,7 @@ def main():
     import jax.numpy as jnp
 
     index = device_index_from_files(PREFIX, variant="inmemory")
-    queries = load_bin(PREFIX + "_query.bin", np.float32)[:Q]
+    queries = load_bin_auto(PREFIX + "_query.bin", np.uint8).astype(np.float32)[:Q]
     gt_ids, gt_dists = load_truthset(PREFIX + "_gt.bin")
     gt_ids, gt_dists = gt_ids[:Q], gt_dists[:Q]
     # Stage the query batch in HBM once, outside the timed region. The axon

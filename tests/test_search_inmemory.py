@@ -54,9 +54,11 @@ def test_inmemory_bloom_mode(loaded):
 
 
 def test_inmemory_uint8(tiny_uint8_index):
+    from bang_tpu.formats.bin_io import load_bin_auto
+
     prefix = tiny_uint8_index["prefix"]
     index = device_index_from_files(prefix, variant="inmemory")
-    queries = load_bin(prefix + "_query.bin", np.float32)
+    queries = load_bin_auto(prefix + "_query.bin", np.uint8).astype(np.float32)
     gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
     ids, _, _ = search_inmemory(index, queries, SearchParams(L=64, k=10))
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
