@@ -144,7 +144,10 @@ def run_traversal(
 ) -> TraversalState:
     """Run the full on-device while_loop; returns the final state."""
     step = make_step(adj, distance_fn, use_bloom, beam)
-    medoid_dist = distance_fn(jnp.full((q, 1), medoid, jnp.int32), None)[:, 0]
+    # one-off entry-point distance: use the plain-XLA path when the distance
+    # fn provides one (the Pallas kernel is built for wide candidate batches)
+    seed_fn = getattr(distance_fn, "seed_fn", distance_fn)
+    medoid_dist = seed_fn(jnp.full((q, 1), medoid, jnp.int32), None)[:, 0]
     state = init_state(q, l, max_iters, medoid, use_bloom, beam, medoid_dist)
     return jax.lax.while_loop(
         lambda s: (s.it < max_iters) & s.active.any(),
@@ -195,6 +198,21 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
 
         def distance_fn(cand_ids, parents=None):
             return pq_lookup_packed(packed, fetch_codes(cand_ids, parents))
+
+        # entry-point seeding: all queries share ONE node, so its PQ distance
+        # is the elementwise distance to that node's reconstructed vector —
+        # no gathers, no kernel (the Pallas kernel is shaped for wide batches)
+        def seed_fn(cand_ids, parents=None):
+            m = codebook.num_chunks
+            node_codes = codes[cand_ids[0, 0]]  # [m] (same node for all queries)
+            recon = codebook.piv_chunks[
+                jnp.arange(m), node_codes.astype(jnp.int32)
+            ]  # [m, dmax]
+            qc = (queries_f32 - codebook.centroid)[:, codebook.dim_idx]
+            qc = qc * codebook.dim_mask  # [Q, m, dmax]
+            return ((qc - recon[None]) ** 2).sum(axis=(1, 2))[:, None]
+
+        distance_fn.seed_fn = seed_fn
 
     else:
 
