@@ -25,15 +25,18 @@ from bang_tpu.utils.config import SearchParams
     jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam")
 )
 def _search_exact_jit(
-    adj, vectors, vector_norms, queries, medoid, l, k, max_iters, use_bloom,
-    precision="highest", beam=1,
+    adj, vectors, vector_norms, nbr_vecs, nbr_vec_norms, queries, medoid, l, k,
+    max_iters, use_bloom, precision="highest", beam=1,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
-    distance_fn = make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=prec)
+    distance_fn = make_exact_distance_fn(
+        queries_f32, vectors, vector_norms, precision=prec,
+        nbr_vecs=nbr_vecs, nbr_vec_norms=nbr_vec_norms,
+    )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     return (
         final.wl_ids[:, :k],
@@ -53,6 +56,8 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         index.adj,
         index.vectors,
         index.vector_norms,
+        index.nbr_vecs,
+        index.nbr_vec_norms,
         jnp.asarray(queries),
         medoid=index.medoid,
         l=params.L,

@@ -29,6 +29,9 @@ class DeviceIndex(NamedTuple):
     codes: Optional[jnp.ndarray]  # [N, m] uint8 PQ codes
     nbr_codes: Optional[jnp.ndarray]  # [N, R, m] u8 — neighbors' codes, row-
     # aligned per parent (gather-efficient CAGRA-style layout; R x memory)
+    nbr_vecs: Optional[jnp.ndarray]  # [N, R, D] — neighbors' vectors (same
+    # layout trick for the exactdistance variant; R x the vector memory)
+    nbr_vec_norms: Optional[jnp.ndarray]  # [N, R] f32
     codebook: Optional[PQCodebook]
     medoid: int  # static
     n: int  # static
@@ -42,6 +45,7 @@ def build_device_index(
     with_adj: bool = True,
     medoid: int | None = None,
     neighbor_codes: bool = False,
+    neighbor_vectors: bool = False,
 ) -> DeviceIndex:
     """Assemble a DeviceIndex from host-side containers (GraphIndex, PQData).
 
@@ -52,7 +56,7 @@ def build_device_index(
     code memory (4 GB at N=1M, m=64): use for <=10M-point indices.
     """
     adj = vectors = norms = codes = codebook = None
-    nbr_codes = None
+    nbr_codes = nbr_vecs = nbr_vec_norms = None
     n = dim = 0
     if graph is not None:
         n, dim = graph.n, graph.dim
@@ -71,11 +75,15 @@ def build_device_index(
                 n = pq.codes.shape[0]
         if dim == 0:
             dim = pq.dim
+    import jax
+
     if neighbor_codes:
         assert adj is not None and codes is not None
-        import jax
-
         nbr_codes = jax.jit(lambda c, a: c[a])(codes, adj)  # one device gather
+    if neighbor_vectors:
+        assert adj is not None and vectors is not None
+        nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)
+        nbr_vec_norms = jax.jit(lambda nn, a: nn[a])(norms, adj)
     assert medoid is not None, "medoid required"
     return DeviceIndex(
         adj=adj,
@@ -83,6 +91,8 @@ def build_device_index(
         vector_norms=norms,
         codes=codes,
         nbr_codes=nbr_codes,
+        nbr_vecs=nbr_vecs,
+        nbr_vec_norms=nbr_vec_norms,
         codebook=codebook,
         medoid=int(medoid),
         n=int(n),
@@ -102,7 +112,13 @@ def device_index_from_files(
     """
     if variant == "exactdistance":
         graph = load_graph_index(prefix)
-        return build_device_index(graph=graph, pq=None)
+        if neighbor_codes is None:
+            # reuse the auto budget for the vector expansion (R x D bytes/node)
+            nv = graph.n * graph.r * graph.dim * graph.vectors.dtype.itemsize
+            return build_device_index(
+                graph=graph, pq=None, neighbor_vectors=nv <= 9 * 1024**3
+            )
+        return build_device_index(graph=graph, pq=None, neighbor_vectors=bool(neighbor_codes))
     if variant == "inmemory":
         graph = load_graph_index(prefix)
         pq = load_pq(prefix)

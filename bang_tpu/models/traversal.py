@@ -156,13 +156,25 @@ def run_traversal(
     )
 
 
-def make_exact_distance_fn(queries_f32, vectors, vector_norms, precision=None):
+def make_exact_distance_fn(
+    queries_f32, vectors, vector_norms, precision=None,
+    nbr_vecs=None, nbr_vec_norms=None,
+):
     """Traversal distance: exact squared L2 read from HBM-resident vectors
-    (BANG_Exactdistance behavior, parANN.cu:1139-1179)."""
+    (BANG_Exactdistance behavior, parANN.cu:1139-1179).
+
+    nbr_vecs [N, R, D] / nbr_vec_norms [N, R] (optional): neighbor-aligned
+    vector layout — candidates fetched per PARENT as contiguous R*D rows
+    (same trick as nbr_codes; R x the vector memory)."""
 
     def distance_fn(cand_ids, parents=None):
-        vecs = vectors[cand_ids]  # [Q, C, D] gather
-        norms = vector_norms[cand_ids]
+        if nbr_vecs is not None and parents is not None:
+            q, d = cand_ids.shape[0], nbr_vecs.shape[-1]
+            vecs = nbr_vecs[parents].reshape(q, -1, d)
+            norms = nbr_vec_norms[parents].reshape(q, -1)
+        else:
+            vecs = vectors[cand_ids]  # [Q, C, D] gather
+            norms = vector_norms[cand_ids]
         return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
 
     return distance_fn

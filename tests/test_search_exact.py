@@ -68,3 +68,18 @@ def test_exact_search_k1(loaded):
     ids, _, _ = search_exact(index, queries, SearchParams(L=32, k=1))
     hit = (np.asarray(ids)[:, 0] == gt_ids[:, 0]).mean()
     assert hit >= 0.95
+
+
+def test_neighbor_vectors_layout_matches(tiny_index):
+    """nbr_vecs (gather-efficient layout) gives identical exact results."""
+    from bang_tpu.models.index import device_index_from_files
+
+    prefix = tiny_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    params = SearchParams(L=48, k=10, beam_width=2)
+    idx_plain = device_index_from_files(prefix, "exactdistance", neighbor_codes=False)
+    idx_nbr = device_index_from_files(prefix, "exactdistance", neighbor_codes=True)
+    assert idx_nbr.nbr_vecs is not None and idx_plain.nbr_vecs is None
+    ids_a, d_a, _ = search_exact(idx_plain, queries, params)
+    ids_b, d_b, _ = search_exact(idx_nbr, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
