@@ -80,15 +80,13 @@ class BANGSearch:
         assert self._params is not None, "call bang_set_searchparams first"
         from bang_tpu.constants import ENABLE_CACHE_WARMUP
 
-        if (
-            self._params.capabilities & ENABLE_CACHE_WARMUP
-            and self.variant != "base"
-        ):
+        if self._params.capabilities & ENABLE_CACHE_WARMUP:
             # reference: BFS-discover nodes and touch their device arrays
-            # (parANN.cu:437-455); on TPU this pages HBM + validates reachability
+            # (parANN.cu:437-455); on TPU this pages HBM + validates
+            # reachability. For the base variant the BFS walks the host mmap.
             from bang_tpu.utils.graph_tools import warmup_touch
 
-            warmup_touch(self._index)
+            warmup_touch(self._index if self.variant != "base" else self._searcher)
         dim = self._dim()
         warm = np.zeros((num_queries, dim), np.float32)
         self._run(warm)
@@ -105,10 +103,24 @@ class BANGSearch:
         if self.dist_func == ENUM_DIST_MIPS and queries.shape[1] == self._dim() - 1:
             queries = preprocess_queries_mips(queries)
         nq = queries.shape[0]
-        if self._compiled_for is not None and nq < self._compiled_for[0]:
-            # pad to the compiled batch shape: no recompile for partial batches
-            pad = self._compiled_for[0] - nq
-            queries = np.concatenate([queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
+        if self._compiled_for is not None:
+            cap = self._compiled_for[0]
+            if nq > cap:
+                # split oversized batches into compiled-shape chunks instead
+                # of silently recompiling for a bigger shape mid-serving
+                outs = [
+                    self.bang_query(queries[s : s + cap]) for s in range(0, nq, cap)
+                ]
+                return (
+                    np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]),
+                )
+            if nq < cap:
+                # pad to the compiled batch shape: no recompile for partial batches
+                pad = cap - nq
+                queries = np.concatenate(
+                    [queries, np.zeros((pad, queries.shape[1]), queries.dtype)]
+                )
         ids, dists = self._run(queries)
         return (
             np.asarray(ids)[:nq].astype(RESULT_DTYPE),

@@ -169,9 +169,13 @@ def load_graph_index(prefix: str | os.PathLike, mmap: bool = False) -> GraphInde
         vectors = np.ascontiguousarray(vectors)
 
     # Load-time sanity, like the reference's first/last-neighbor asserts
-    # (BANG_Base/bang_search.cu:330-346).
+    # (BANG_Base/bang_search.cu:330-346). Raise (not assert): must survive
+    # python -O, and a corrupt index should fail loudly at load time.
     if n > 0:
-        assert 0 <= adj[0, 0] < n, "first adjacency entry out of range"
-        assert 0 <= adj[-1, -1] < n, "last adjacency entry out of range"
+        if not (0 <= adj[0, 0] < n) or not (0 <= adj[-1, -1] < n):
+            raise ValueError(
+                f"{path}: adjacency entries out of range "
+                f"(first={adj[0, 0]}, last={adj[-1, -1]}, n={n}) — corrupt index?"
+            )
 
     return GraphIndex(vectors=vectors, adj=adj, degrees=degrees, medoid=meta.medoid)

@@ -100,29 +100,36 @@ def build_device_index(
     )
 
 
+# Auto-budget (bytes) for the neighbor-aligned R x expansion layouts. Chosen
+# to leave headroom on a 16 GB v5e chip next to the base arrays.
+NEIGHBOR_LAYOUT_BUDGET = 9 * 1024**3
+
+
 def device_index_from_files(
     prefix: str,
     variant: str = "inmemory",
     neighbor_codes: bool | None = None,
+    neighbor_vectors: bool | None = None,
 ) -> DeviceIndex:
     """Load an index bundle from `<prefix>_*` files for the given variant.
 
-    neighbor_codes=None auto-enables the gather-efficient layout when the
-    R x m expansion stays under ~6 GB.
+    neighbor_codes (inmemory) / neighbor_vectors (exactdistance) control the
+    gather-efficient neighbor-aligned layouts; None auto-enables each when its
+    R x expansion stays under NEIGHBOR_LAYOUT_BUDGET.
     """
     if variant == "exactdistance":
         graph = load_graph_index(prefix)
-        if neighbor_codes is None:
-            # reuse the auto budget for the vector expansion (R x D bytes/node)
+        if neighbor_vectors is None:
             nv = graph.n * graph.r * graph.dim * graph.vectors.dtype.itemsize
-            return build_device_index(
-                graph=graph, pq=None, neighbor_vectors=nv <= 9 * 1024**3
-            )
-        return build_device_index(graph=graph, pq=None, neighbor_vectors=bool(neighbor_codes))
+            neighbor_vectors = nv <= NEIGHBOR_LAYOUT_BUDGET
+        return build_device_index(
+            graph=graph, pq=None, neighbor_vectors=bool(neighbor_vectors)
+        )
     if variant == "inmemory":
         graph = load_graph_index(prefix)
         pq = load_pq(prefix)
         if neighbor_codes is None:
-            neighbor_codes = graph.n * graph.r * pq.num_chunks <= 6 * 1024**3
+            nc = graph.n * graph.r * pq.num_chunks
+            neighbor_codes = nc <= NEIGHBOR_LAYOUT_BUDGET
         return build_device_index(graph=graph, pq=pq, neighbor_codes=neighbor_codes)
     raise ValueError(f"unknown variant for device index: {variant!r}")

@@ -149,5 +149,7 @@ def search_data_parallel(mesh: Mesh, index, queries: np.ndarray, params: SearchP
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
         rerank=params.rerank,
+        pq_impl=params.pq_impl,
+        beam=params.beam_width,
     )
     return ids, dists

@@ -16,25 +16,35 @@ import collections
 import numpy as np
 
 
-def bfs_from(adj: np.ndarray, start: int, max_nodes: int | None = None) -> np.ndarray:
-    """Breadth-first order of nodes reachable from `start` (≤ max_nodes)."""
-    n = adj.shape[0]
+def bfs_rows(row_fn, n: int, start: int, max_nodes: int | None = None) -> np.ndarray:
+    """Breadth-first order of nodes reachable from `start` (≤ max_nodes),
+    reading adjacency rows through `row_fn(u) -> iterable of neighbor ids`.
+    Level-synchronous with vectorized dedup so mmap-backed graphs stay fast."""
     seen = np.zeros(n, dtype=bool)
     seen[start] = True
-    order = [start]
-    queue = collections.deque([start])
+    order = [np.asarray([start], dtype=np.int32)]
+    frontier = order[0]
+    total = 1
     limit = n if max_nodes is None else max_nodes
-    while queue and len(order) < limit:
-        u = queue.popleft()
-        for v in adj[u]:
-            v = int(v)
-            if not seen[v]:
-                seen[v] = True
-                order.append(v)
-                queue.append(v)
-                if len(order) >= limit:
-                    break
-    return np.asarray(order, dtype=np.int32)
+    while len(frontier) and total < limit:
+        nxt = np.unique(np.concatenate([np.asarray(row_fn(int(u)), dtype=np.int64)
+                                        for u in frontier]))
+        nxt = nxt[(nxt >= 0) & (nxt < n)]
+        nxt = nxt[~seen[nxt]]
+        if len(nxt) == 0:
+            break
+        if total + len(nxt) > limit:
+            nxt = nxt[: limit - total]
+        seen[nxt] = True
+        frontier = nxt.astype(np.int32)
+        order.append(frontier)
+        total += len(frontier)
+    return np.concatenate(order)
+
+
+def bfs_from(adj: np.ndarray, start: int, max_nodes: int | None = None) -> np.ndarray:
+    """Breadth-first order of nodes reachable from `start` (≤ max_nodes)."""
+    return bfs_rows(lambda u: adj[u], adj.shape[0], start, max_nodes)
 
 
 def reachable_fraction(adj: np.ndarray, medoid: int, sample_cap: int = 2_000_000) -> float:
@@ -43,20 +53,42 @@ def reachable_fraction(adj: np.ndarray, medoid: int, sample_cap: int = 2_000_000
     return len(order) / min(adj.shape[0], sample_cap)
 
 
+def _mmap_row_fn(searcher):
+    """Adjacency-row accessor over a BaseVariantSearcher's packed host graph
+    (record layout: [FP vec | degree u32 | nbrs u32*R], graph.py)."""
+    vec_nbytes = searcher.vec_bytes
+    r = searcher.meta.degree
+
+    def row_fn(u):
+        rec = np.asarray(searcher.raw[u])
+        deg = int(rec[vec_nbytes : vec_nbytes + 4].view("<u4")[0])
+        return rec[vec_nbytes + 4 :].view("<u4")[: min(deg, r)]
+
+    return row_fn
+
+
 def warmup_touch(index, n_nodes: int = 1_000_000) -> int:
     """ENABLE_CACHE_WARMUP analog: BFS-discover nodes and touch their
     device-resident PQ codes / vectors once (pages HBM, warms the jit path).
-    Returns the number of nodes touched."""
+    Accepts either a DeviceIndex (adj on device) or a BaseVariantSearcher
+    (graph in host RAM — BFS walks the mmap; the reference's analog is the
+    CPU BFS in BANG_Exactdistance/parANN.cu:1772-1853). Returns the number
+    of nodes touched."""
     import jax
     import jax.numpy as jnp
 
-    adj_np = np.asarray(index.adj) if index.adj is not None else None
-    if adj_np is None:
+    adj = getattr(index, "adj", None)
+    if adj is not None:
+        order = bfs_from(np.asarray(adj), index.medoid, max_nodes=n_nodes)
+    elif getattr(index, "raw", None) is not None:
+        order = bfs_rows(
+            _mmap_row_fn(index), index.meta.n, index.meta.medoid, max_nodes=n_nodes
+        )
+    else:
         return 0
-    order = bfs_from(adj_np, index.medoid, max_nodes=n_nodes)
     ids = jnp.asarray(order)
     touched = 0
-    for arr in (index.codes, index.vectors):
+    for arr in (getattr(index, "codes", None), getattr(index, "vectors", None)):
         if arr is not None:
             jax.block_until_ready(arr[ids].sum())
             touched = len(order)

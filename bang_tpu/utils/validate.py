@@ -32,11 +32,20 @@ class ValidationReport:
     dim: int = 0
     degree: int = 0
     chunks: int = 0
+    reachable_fraction: float = -1.0  # of min(n, reach_cap) nodes, from medoid
 
 
-def validate_index(prefix: str, with_pq: bool = True, sample: int = 10000) -> ValidationReport:
+def validate_index(
+    prefix: str,
+    with_pq: bool = True,
+    sample: int = 10000,
+    reach_cap: int = 50_000,
+) -> ValidationReport:
     """Validate an index bundle at `prefix`. Checks metadata consistency,
-    adjacency id ranges, degree bounds, medoid range, PQ shape agreement."""
+    adjacency id ranges, degree bounds, medoid range, PQ shape agreement,
+    and BFS reachability from the medoid (capped at reach_cap nodes so a
+    disconnected index surfaces here instead of as mystery recall after a
+    long benchmark; reach_cap=0 skips it)."""
     errors, warnings = [], []
 
     meta_path = prefix + GRAPH_METADATA_FILE_SUFFIX
@@ -86,6 +95,26 @@ def validate_index(prefix: str, with_pq: bool = True, sample: int = 10000) -> Va
         if dup_rows:
             errors.append(f"{dup_rows} sampled rows contain duplicate neighbor ids")
 
+    reach = -1.0
+    if not errors and reach_cap:
+        from bang_tpu.utils.graph_tools import bfs_rows
+
+        raw = np.memmap(graph_path, dtype=np.uint8, mode="r", shape=(meta.n, meta.entry_len))
+        vec_nbytes = meta.dim * meta.numpy_dtype.itemsize
+
+        def row_fn(u):
+            rec = np.asarray(raw[u])
+            deg = int(rec[vec_nbytes : vec_nbytes + 4].view("<u4")[0])
+            return rec[vec_nbytes + 4 :].view("<u4")[: min(deg, meta.degree)]
+
+        order = bfs_rows(row_fn, meta.n, meta.medoid, max_nodes=reach_cap)
+        reach = len(order) / min(meta.n, reach_cap)
+        if reach < 0.5:
+            warnings.append(
+                f"only {reach:.1%} of the first {min(meta.n, reach_cap)} nodes "
+                "reachable from medoid — recall will suffer"
+            )
+
     chunks = 0
     if with_pq:
         piv_path = prefix + PQ_PIVOTS_FILE_SUFFIX
@@ -118,4 +147,5 @@ def validate_index(prefix: str, with_pq: bool = True, sample: int = 10000) -> Va
         dim=meta.dim,
         degree=meta.degree,
         chunks=chunks,
+        reachable_fraction=reach,
     )

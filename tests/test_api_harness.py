@@ -131,3 +131,24 @@ def test_driver_interactive_mode(tiny_index, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("best") == 1
+
+
+def test_facade_oversized_batch_chunks(tiny_index):
+    """Batches larger than the bang_alloc'd shape are split into
+    compiled-shape chunks instead of triggering a silent recompile."""
+    import numpy as np
+
+    from bang_tpu.api import BANGSearch
+
+    s = BANGSearch(variant="inmemory")
+    s.bang_load(tiny_index["prefix"])
+    s.bang_set_searchparams(10, 24)
+    s.bang_alloc(32)
+    from bang_tpu.formats.bin_io import load_bin_auto
+
+    queries = load_bin_auto(tiny_index["prefix"] + "_query.bin", np.float32)
+    queries = queries[:80].astype(np.float32)
+    ids, dists = s.bang_query(queries)
+    assert ids.shape == (80, 10) and dists.shape == (80, 10)
+    ref_ids, _ = s.bang_query(queries[:32])
+    np.testing.assert_array_equal(ids[:32], ref_ids)

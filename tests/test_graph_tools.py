@@ -39,3 +39,12 @@ def test_warmup_touch(tiny_index):
     touched = warmup_touch(index, n_nodes=500)
     assert touched == 500
     assert reachable_fraction(np.asarray(index.adj), index.medoid) > 0.99
+
+
+def test_warmup_touch_base_variant(tiny_index):
+    """Base variant: BFS must walk the host-mmap graph (no device adj)."""
+    from bang_tpu.models.base import BaseVariantSearcher
+
+    searcher = BaseVariantSearcher(tiny_index["prefix"])
+    touched = warmup_touch(searcher, n_nodes=400)
+    assert touched == 400

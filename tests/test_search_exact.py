@@ -77,8 +77,8 @@ def test_neighbor_vectors_layout_matches(tiny_index):
     prefix = tiny_index["prefix"]
     queries = load_bin(prefix + "_query.bin", np.float32)[:64]
     params = SearchParams(L=48, k=10, beam_width=2)
-    idx_plain = device_index_from_files(prefix, "exactdistance", neighbor_codes=False)
-    idx_nbr = device_index_from_files(prefix, "exactdistance", neighbor_codes=True)
+    idx_plain = device_index_from_files(prefix, "exactdistance", neighbor_vectors=False)
+    idx_nbr = device_index_from_files(prefix, "exactdistance", neighbor_vectors=True)
     assert idx_nbr.nbr_vecs is not None and idx_plain.nbr_vecs is None
     ids_a, d_a, _ = search_exact(idx_plain, queries, params)
     ids_b, d_b, _ = search_exact(idx_nbr, queries, params)

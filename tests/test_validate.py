@@ -29,3 +29,11 @@ def test_validate_detects_truncation(tiny_index, tmp_path):
 def test_validate_missing_metadata(tmp_path):
     rep = validate_index(str(tmp_path / "nope"))
     assert not rep.ok
+
+
+def test_validate_reports_reachability(tiny_index):
+    from bang_tpu.utils.validate import validate_index
+
+    rep = validate_index(tiny_index["prefix"])
+    assert rep.ok
+    assert rep.reachable_fraction > 0.99
