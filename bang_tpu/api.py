@@ -47,14 +47,24 @@ class BANGSearch:
 
     # -- lifecycle ----------------------------------------------------------
 
-    def bang_load(self, index_prefix: str, mmap: bool | None = None) -> bool:
-        """Load the index files for the configured variant."""
+    def bang_load(
+        self,
+        index_prefix: str,
+        mmap: bool | None = None,
+        n_pipeline_batches: int | None = None,
+    ) -> bool:
+        """Load the index files for the configured variant.
+
+        n_pipeline_batches (base variant only): query sub-batches kept in
+        flight so host gathers overlap device steps (default 4)."""
         log_message(f"bang_load({index_prefix}) variant={self.variant}")
         if self.variant == "base":
             from bang_tpu.models.base import BaseVariantSearcher
 
             self._searcher = BaseVariantSearcher(
-                index_prefix, mmap=True if mmap is None else mmap
+                index_prefix,
+                mmap=True if mmap is None else mmap,
+                n_pipeline_batches=4 if n_pipeline_batches is None else n_pipeline_batches,
             )
         else:
             from bang_tpu.models.index import device_index_from_files

@@ -85,13 +85,15 @@ def main(argv=None):
                    help="expansion budget beyond L (reference: 50)")
     p.add_argument("--stats", action="store_true",
                    help="print per-run search statistics (ENABLE_GPU_STATS analog)")
+    p.add_argument("--pipeline", type=int, default=None,
+                   help="base variant: query sub-batches kept in flight")
     p.add_argument("--json", action="store_true", help="emit one JSON line per L")
     args = p.parse_args(argv)
 
     dist_func = ENUM_DIST_L2 if args.distfn == "l2" else ENUM_DIST_MIPS
     engine = BANGSearch(variant=args.variant, dist_func=dist_func)
     log_message("LOAD STARTED")
-    engine.bang_load(args.index_prefix)
+    engine.bang_load(args.index_prefix, n_pipeline_batches=args.pipeline)
     log_message("LOAD DONE")
 
     # queries: element dtype matches the dataset (size-probed for f32

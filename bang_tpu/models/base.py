@@ -150,7 +150,7 @@ class BaseVariantSearcher:
     def __init__(
         self,
         prefix: str,
-        n_pipeline_batches: int = 2,
+        n_pipeline_batches: int = 4,
         n_threads: int = 0,
         mmap: bool = True,
     ):
@@ -185,9 +185,25 @@ class BaseVariantSearcher:
         )
 
     def search(self, queries: np.ndarray, params: SearchParams):
-        """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32)."""
+        """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32).
+
+        Stage-timer semantics (per-search, enabled via ENABLE_GPU_STATS):
+          host_gather  — pure host work: threaded adjacency + FP row fetch
+          d2h_parents  — blocking readback of next parents (includes waiting
+                         for that sub-batch's device step to finish)
+          dispatch     — H2D staging + async device-step enqueue
+          wall         — end-to-end search wall clock
+        Overlap proof: host_gather + d2h_parents + dispatch > wall means the
+        host gather ran concurrently with device compute (the pipeline's
+        purpose); host_gather ≈ its share of wall means no overlap.
+        """
         queries = np.asarray(queries, dtype=np.float32)
         self.timers.ms.clear()  # per-search stage breakdown
+        t_wall = None
+        if self.timers.enabled:
+            import time as _time
+
+            t_wall = _time.perf_counter()
         q_total = queries.shape[0]
         nb = min(self.n_pipeline_batches, q_total)
         use_bloom = params.visited_mode == "bloom"
@@ -228,25 +244,28 @@ class BaseVariantSearcher:
                     continue
                 if pending[b] is not None:
                     parents_dev, active_dev = pending[b]
-                    parents_host[b] = np.asarray(parents_dev)
+                    with self.timers.stage("d2h_parents"):
+                        parents_host[b] = np.asarray(parents_dev)
+                        active_any = bool(active_dev)
                     pending[b] = None
-                    if not bool(active_dev):
+                    if not active_any:
                         done[b] = True
                         continue
                 with self.timers.stage("host_gather"):
                     nbrs, fp = self._host_gather(parents_host[b].reshape(-1))
                 q_b = parents_host[b].shape[0]
-                states[b], parents_dev, active_dev = _base_step(
-                    states[b],
-                    jnp.asarray(nbrs.reshape(q_b, -1)),
-                    jnp.asarray(fp.reshape(q_b, beam, -1)),
-                    sub_q[b],
-                    tables[b],
-                    self.codes,
-                    use_bloom,
-                    pq_impl,
-                    beam,
-                )
+                with self.timers.stage("dispatch"):
+                    states[b], parents_dev, active_dev = _base_step(
+                        states[b],
+                        jnp.asarray(nbrs.reshape(q_b, -1)),
+                        jnp.asarray(fp.reshape(q_b, beam, -1)),
+                        sub_q[b],
+                        tables[b],
+                        self.codes,
+                        use_bloom,
+                        pq_impl,
+                        beam,
+                    )
                 pending[b] = (parents_dev, active_dev)
                 progressed = True
             if not progressed:
@@ -262,4 +281,8 @@ class BaseVariantSearcher:
             i_b, d_b = _base_finish(states[b], params.k)
             ids[s] = np.asarray(i_b)
             dists[s] = np.asarray(d_b)
+        if t_wall is not None:
+            import time as _time
+
+            self.timers.ms["wall"] += (_time.perf_counter() - t_wall) * 1000.0
         return ids, dists

@@ -64,7 +64,12 @@ def build_device_index(
         if with_adj:
             adj = jnp.asarray(graph.adj, dtype=jnp.int32)
         if with_vectors:
-            vectors = jnp.asarray(graph.vectors)
+            v = graph.vectors
+            if v.dtype == np.float32:
+                # store f32 tables as u8 bit-views: TPU row gathers of u8
+                # rows are ~3x faster at equal bytes (ops/l2.decode_row_gather)
+                v = np.ascontiguousarray(v).view(np.uint8)
+            vectors = jnp.asarray(v)
             v64 = graph.vectors.astype(np.float64)
             norms = jnp.asarray((v64 * v64).sum(-1).astype(np.float32))
     if pq is not None:

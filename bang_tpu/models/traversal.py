@@ -163,18 +163,28 @@ def make_exact_distance_fn(
     """Traversal distance: exact squared L2 read from HBM-resident vectors
     (BANG_Exactdistance behavior, parANN.cu:1139-1179).
 
-    nbr_vecs [N, R, D] / nbr_vec_norms [N, R] (optional): neighbor-aligned
-    vector layout — candidates fetched per PARENT as contiguous R*D rows
-    (same trick as nbr_codes; R x the vector memory)."""
+    vectors may be an f32 table packed as a u8 bit-view [N, 4*D] (see
+    ops/l2.decode_row_gather) — u8 row gathers are ~3x faster on TPU.
+    Scattered paths recompute candidate norms on the fly instead of paying a
+    second scattered gather for vector_norms.
+
+    nbr_vecs [N, R, D or 4*D] / nbr_vec_norms [N, R] (optional):
+    neighbor-aligned vector layout — candidates fetched per PARENT as
+    contiguous R*D rows (same trick as nbr_codes; R x the vector memory)."""
+    from bang_tpu.ops.l2 import decode_row_gather
+
+    d = queries_f32.shape[-1]
 
     def distance_fn(cand_ids, parents=None):
         if nbr_vecs is not None and parents is not None:
-            q, d = cand_ids.shape[0], nbr_vecs.shape[-1]
-            vecs = nbr_vecs[parents].reshape(q, -1, d)
+            q = cand_ids.shape[0]
+            vecs = decode_row_gather(
+                nbr_vecs[parents].reshape(q, -1, nbr_vecs.shape[-1]), d
+            )
             norms = nbr_vec_norms[parents].reshape(q, -1)
         else:
-            vecs = vectors[cand_ids]  # [Q, C, D] gather
-            norms = vector_norms[cand_ids]
+            vecs = decode_row_gather(vectors[cand_ids], d)  # [Q, C, D] gather
+            norms = None  # computed from vecs; skips a scattered norm gather
         return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
 
     return distance_fn
@@ -248,11 +258,16 @@ def rerank_topk(
     (bang_search.cu:1254-1368): one gathered batched matmul for the distances
     and `lax.top_k` instead of a per-query merge sort.
     Returns (ids [Q, k] i32, dists [Q, k] f32 squared L2).
+
+    vectors may be a u8-packed f32 table (ops/l2.decode_row_gather); norms
+    are recomputed from the gathered rows (cheaper than a scattered gather
+    of vector_norms, and f32-exact like the reference's re-rank).
     """
+    from bang_tpu.ops.l2 import decode_row_gather
+
     safe_ids = jnp.maximum(visited_ids, 0)
-    vecs = vectors[safe_ids]  # [Q, MI, D]
-    norms = vector_norms[safe_ids]
-    d = l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
+    vecs = decode_row_gather(vectors[safe_ids], queries_f32.shape[-1])  # [Q, MI, D]
+    d = l2_distance_to_candidates(queries_f32, vecs, None, precision=precision)
     d = jnp.where(visited_ids == INVALID_ID, jnp.inf, d)
     neg, idx = jax.lax.top_k(-d, k)
     ids = jnp.take_along_axis(visited_ids, idx, axis=1)

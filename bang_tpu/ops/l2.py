@@ -21,6 +21,22 @@ def squared_norms(vectors: jnp.ndarray, block: int | None = None) -> jnp.ndarray
     return (v * v).sum(-1)
 
 
+def decode_row_gather(raw: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Undo the u8 bit-view packing of an f32 vector table after a row gather.
+
+    f32 vector tables are stored as uint8 views of shape [N, 4*dim] because
+    TPU row gathers of u8 rows run ~3x faster than f32 rows of equal bytes
+    (measured 7.4 ms vs 24.5 ms for 640K scattered 128-B rows on v5e). This
+    reinterprets the gathered bytes back: u8 [..., 4*dim] -> f32 [..., dim].
+    Native-dtype tables (u8/int8 data, or [N, dim] f32) pass through.
+    """
+    if raw.dtype == jnp.uint8 and raw.shape[-1] == 4 * dim:
+        return jax.lax.bitcast_convert_type(
+            raw.reshape(*raw.shape[:-1], dim, 4), jnp.float32
+        )
+    return raw
+
+
 def l2_distance_to_candidates(
     queries: jnp.ndarray,
     cand_vectors: jnp.ndarray,

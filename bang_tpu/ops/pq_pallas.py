@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Queries per grid program. 32 empirically best on v5e (1.40 ms vs 1.80 at 16
-# for the Q=10K, m=32, R=32 benchmark); tables block = 32*m*512B.
-DEFAULT_TILE_Q = 32
+# Queries per grid program. 64 empirically best on v5e for the u8-codes
+# kernel (2.69 ms at 64 vs 2.76 at 32 / 2.89 at 16; Q=10K, m=64, C=128).
+DEFAULT_TILE_Q = 64
 
 
 def pack_tables(tables: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +44,11 @@ def pack_tables(tables: jnp.ndarray) -> jnp.ndarray:
 def _lookup_kernel(tiles_q: int, m: int, r: int, tables_ref, codes_ref, out_ref):
     mr = tiles_q * m
     tab = tables_ref[...].reshape(mr, 128)
+    # codes arrive untransposed [tiles_q, R, m] u8 — cast + transpose here in
+    # VMEM. Shipping u8 (vs the previous XLA pre-transpose to [Q, m, R] i32)
+    # cuts the kernel's HBM code traffic 4x and removes a 2x materialization
+    # pass; measured 4.0 -> 2.7 ms/iter at Q=10K, m=64, C=128 on v5e.
+    ct = jnp.swapaxes(codes_ref[...].astype(jnp.int32), 1, 2).reshape(mr, r)
 
     def gather_slice(idx):
         # idx: [mr, 128] lane indices into the packed 256-entry tables
@@ -53,7 +58,6 @@ def _lookup_kernel(tiles_q: int, m: int, r: int, tables_ref, codes_ref, out_ref)
         vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
         return vals.reshape(tiles_q, m, 128).sum(axis=1)  # [tiles_q, 128]
 
-    ct = codes_ref[...].reshape(mr, r)
     if r <= 128:
         reps = -(-128 // r)
         idx = jnp.concatenate([ct] * reps, axis=1)[:, :128]
@@ -76,31 +80,31 @@ def pq_lookup_packed(
     """out[q, r] = sum_c unpack(packed_tables)[q, c, codes[q, r, c]].
 
     packed_tables: [Q, m, 128] int32 (from pack_tables); codes: [Q, R, m]
-    int32/uint8 gathered per candidate. Returns [Q, R] f32 (bf16 accuracy).
+    uint8/int32 gathered per candidate. Returns [Q, R] f32 (bf16 accuracy).
     """
     q, m, _ = packed_tables.shape
     r = codes.shape[1]
     r_pad = r if r <= 128 else -(-r // 128) * 128
-    codes_t = jnp.swapaxes(codes.astype(jnp.int32), 1, 2)  # [Q, m, R]
+    codes = codes.astype(jnp.uint8)  # ship 1 byte/code into the kernel
     if r_pad != r:
-        codes_t = jnp.pad(codes_t, ((0, 0), (0, 0), (0, r_pad - r)))
+        codes = jnp.pad(codes, ((0, 0), (0, r_pad - r), (0, 0)))
 
     q_pad = -(-q // tile_q) * tile_q
     if q_pad != q:
         packed_tables = jnp.pad(packed_tables, ((0, q_pad - q), (0, 0), (0, 0)))
-        codes_t = jnp.pad(codes_t, ((0, q_pad - q), (0, 0), (0, 0)))
+        codes = jnp.pad(codes, ((0, q_pad - q), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, tile_q, m, r_pad),
         grid=(q_pad // tile_q,),
         in_specs=[
             pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, m, r_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, r_pad, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_q, r_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q_pad, r_pad), jnp.float32),
         interpret=interpret,
-    )(packed_tables, codes_t)
+    )(packed_tables, codes)
     return out[:q, :r]
 
 

@@ -38,8 +38,10 @@ def test_exact_search_recall(loaded):
 
 
 def index_vectors_dist(index, queries, ids):
-    vecs = np.asarray(index.vectors)[ids]
-    return ((queries[:, None, :] - vecs) ** 2).sum(-1)
+    vecs = np.asarray(index.vectors)
+    if vecs.dtype == np.uint8 and vecs.shape[-1] == 4 * index.dim:
+        vecs = vecs.view(np.float32)  # u8 bit-view packing of f32 tables
+    return ((queries[:, None, :] - vecs[ids]) ** 2).sum(-1)
 
 
 def test_exact_search_bloom_mode(loaded):

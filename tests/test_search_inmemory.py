@@ -27,8 +27,10 @@ def test_inmemory_recall(loaded):
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 90.0, f"PQ+rerank recall@10 too low: {recall}"
     # re-ranked distances are exact squared L2 of the returned ids
-    vecs = np.asarray(index.vectors)[np.asarray(ids)]
-    want = ((queries[:, None, :] - vecs) ** 2).sum(-1)
+    vecs = np.asarray(index.vectors)
+    if vecs.dtype == np.uint8 and vecs.shape[-1] == 4 * index.dim:
+        vecs = vecs.view(np.float32)  # u8 bit-view packing of f32 tables
+    want = ((queries[:, None, :] - vecs[np.asarray(ids)]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(dists), want, rtol=1e-3, atol=1e-2)
 
 
