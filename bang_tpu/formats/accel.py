@@ -42,22 +42,84 @@ def _device_vectors(vectors: np.ndarray):
     return v, norms
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _block_topk_chunked(q_blk, vecs, norms, k):
+    """Top-k of q_blk against chunked vectors [n_chunks, nc, D] with a
+    running merge — the full [block, N] distance matrix never materializes
+    (41 GB at N=10M), only [block, nc] per chunk."""
+    b = q_blk.shape[0]
+    nc = vecs.shape[1]
+    q_norm = (q_blk * q_blk).sum(-1, keepdims=True)
+
+    def body(ci, carry):
+        best_d, best_i = carry
+        v = vecs[ci].astype(jnp.float32)
+        cross = jnp.einsum(
+            "bd,nd->bn", q_blk, v,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = norms[ci][None, :] - 2.0 * cross + q_norm
+        neg, idx = jax.lax.top_k(-d, k)
+        cat_d = jnp.concatenate([best_d, -neg], axis=1)
+        cat_i = jnp.concatenate([best_i, idx + ci * nc], axis=1)
+        nneg, sel = jax.lax.top_k(-cat_d, k)
+        return -nneg, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((b, k), jnp.inf, jnp.float32), jnp.zeros((b, k), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, vecs.shape[0], body, init)
+    return best_i, best_d
+
+
 def compute_groundtruth_jax(
-    vectors: np.ndarray, queries: np.ndarray, k: int, block: int = 1024
+    vectors: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    block: int = 1024,
+    n_chunk: int = 1_000_000,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k ground truth on the accelerator (f32, HIGHEST precision)."""
-    v, norms = _device_vectors(vectors)
+    """Exact top-k ground truth on the accelerator (f32, HIGHEST precision).
+
+    Datasets larger than n_chunk are processed in N-chunks with a running
+    top-k merge so the distance matrix stays [block, n_chunk]."""
     nq = queries.shape[0]
+    n, d = vectors.shape
     ids = np.empty((nq, k), np.uint32)
     dists = np.empty((nq, k), np.float32)
+    if n <= n_chunk:
+        v, norms = _device_vectors(vectors)
+        for s in range(0, nq, block):
+            q_blk = queries[s : s + block].astype(np.float32)
+            nb = q_blk.shape[0]
+            if nb < block:  # pad to a fixed shape: one compiled program total
+                q_blk = np.pad(q_blk, ((0, block - nb), (0, 0)))
+            i, dd = _block_topk(jnp.asarray(q_blk), v, norms, 0, k, True)
+            ids[s : s + block] = np.asarray(i[:nb]).astype(np.uint32)
+            dists[s : s + block] = np.asarray(dd[:nb])
+        return ids, dists
+
+    n_chunks = -(-n // n_chunk)
+    n_pad = n_chunks * n_chunk
+    # keep the chunked table in the dataset's dtype (u8 stays 1 B/elt in HBM)
+    vp = vectors
+    if n_pad != n:
+        pad = np.zeros((n_pad - n, d), dtype=vectors.dtype)
+        vp = np.concatenate([vectors, pad], axis=0)
+    vecs = jnp.asarray(vp.reshape(n_chunks, n_chunk, d))
+    norms = np.empty(n_pad, np.float32)
+    for s in range(0, n_pad, n_chunk):
+        v64 = vp[s : s + n_chunk].astype(np.float64)
+        norms[s : s + n_chunk] = (v64 * v64).sum(-1)
+    norms[n:] = np.inf  # padding rows can never enter the top-k
+    norms_d = jnp.asarray(norms.reshape(n_chunks, n_chunk))
     for s in range(0, nq, block):
         q_blk = queries[s : s + block].astype(np.float32)
         nb = q_blk.shape[0]
-        if nb < block:  # pad to a fixed shape: one compiled program total
+        if nb < block:
             q_blk = np.pad(q_blk, ((0, block - nb), (0, 0)))
-        i, d = _block_topk(jnp.asarray(q_blk), v, norms, 0, k, True)
+        i, dd = _block_topk_chunked(jnp.asarray(q_blk), vecs, norms_d, k)
         ids[s : s + block] = np.asarray(i[:nb]).astype(np.uint32)
-        dists[s : s + block] = np.asarray(d[:nb])
+        dists[s : s + block] = np.asarray(dd[:nb])
     return ids, dists
 
 

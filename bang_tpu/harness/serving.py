@@ -67,3 +67,90 @@ class SearchServer:
     def close(self):
         self.engine.bang_free()
         self.engine.bang_unload()
+
+
+def measure_device_batch_latency(
+    index,
+    queries: np.ndarray,
+    params: SearchParams,
+    variant: str = "inmemory",
+    n_chain: int = 17,
+) -> float:
+    """Device time per search batch, measured as the SLOPE of a chained
+    on-device loop (ms per search).
+
+    Rationale: through a development tunnel a single dispatch pays ~30-50 ms
+    of RPC round-trip that a real TPU host never sees, so wall-clock latency
+    of one small batch measures the tunnel, not the accelerator. This runs
+    `n_chain` full searches sequentially inside ONE device program (each
+    search's queries carry a data dependence on the previous result, forcing
+    serialization), times chains of length 1 and n_chain, and reports
+    (t_n - t_1) / (n_chain - 1) — constant dispatch/RPC costs cancel.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if variant == "inmemory":
+        from bang_tpu.models.inmemory import _search_inmemory_jit as _search
+    elif variant == "exactdistance":
+        from bang_tpu.models.exactdistance import _search_exact_jit as _search
+    else:
+        raise ValueError(f"device latency probe supports HBM variants, not {variant!r}")
+
+    q = jnp.asarray(np.asarray(queries, np.float32))
+
+    # index arrays MUST be jit arguments — captured (closed-over) arrays
+    # become HLO constants, inflating the program by GBs (and overflowing the
+    # remote compiler's request limit on tunneled setups)
+    if variant == "inmemory":
+        arrays = (index.adj, index.vectors, index.vector_norms, index.codes,
+                  index.nbr_codes, index.codebook)
+
+        def one_search(arrays, qq):
+            adj, vectors, norms, codes, nbr_codes, cb = arrays
+            return _search(
+                adj, vectors, norms, codes, nbr_codes, cb, qq,
+                medoid=index.medoid, l=params.L, k=params.k,
+                max_iters=params.max_iters,
+                use_bloom=params.visited_mode == "bloom",
+                rerank=params.rerank, pq_impl=params.pq_impl,
+                beam=params.beam_width,
+            )
+    else:
+        arrays = (index.adj, index.vectors, index.vector_norms,
+                  index.nbr_vecs, index.nbr_vec_norms)
+
+        def one_search(arrays, qq):
+            adj, vectors, norms, nbr_vecs, nbr_vec_norms = arrays
+            return _search(
+                adj, vectors, norms, nbr_vecs, nbr_vec_norms, qq,
+                medoid=index.medoid, l=params.L, k=params.k,
+                max_iters=params.max_iters,
+                use_bloom=params.visited_mode == "bloom",
+                precision=params.traversal_precision,
+                beam=params.beam_width,
+            )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(arrays, q, n):
+        def body(i, carry):
+            qq = q + carry * 0.0  # serialize: depends on previous search
+            ids, dists, *_ = one_search(arrays, qq)
+            return dists.sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n):
+        jax.device_get(chained(arrays, q, n))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(chained(arrays, q, n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = timed(1)
+    tn = timed(n_chain)
+    return max(0.0, (tn - t1) / (n_chain - 1) * 1000.0)

@@ -64,12 +64,13 @@ def build_device_index(
         if with_adj:
             adj = jnp.asarray(graph.adj, dtype=jnp.int32)
         if with_vectors:
-            v = graph.vectors
-            if v.dtype == np.float32:
-                # store f32 tables as u8 bit-views: TPU row gathers of u8
-                # rows are ~3x faster at equal bytes (ops/l2.decode_row_gather)
-                v = np.ascontiguousarray(v).view(np.uint8)
-            vectors = jnp.asarray(v)
+            # vectors stay in their NATIVE dtype. A u8-bitview packing of f32
+            # tables was tried (raw u8 row gathers are ~3x faster at equal
+            # bytes) and reverted: the bitcast decode forces a (..., 4)-minor
+            # relayout that costs 5x the gather win (see ops/l2 notes), and
+            # scattered f32 gathers of >=512 B rows already run at the same
+            # per-row cost as u8 (~8.3 ms / 640K rows on v5e).
+            vectors = jnp.asarray(graph.vectors)
             v64 = graph.vectors.astype(np.float64)
             norms = jnp.asarray((v64 * v64).sum(-1).astype(np.float32))
     if pq is not None:

@@ -22,13 +22,16 @@ def squared_norms(vectors: jnp.ndarray, block: int | None = None) -> jnp.ndarray
 
 
 def decode_row_gather(raw: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """Undo the u8 bit-view packing of an f32 vector table after a row gather.
+    """Undo a u8 bit-view packing of an f32 vector table after a row gather.
 
-    f32 vector tables are stored as uint8 views of shape [N, 4*dim] because
-    TPU row gathers of u8 rows run ~3x faster than f32 rows of equal bytes
-    (measured 7.4 ms vs 24.5 ms for 640K scattered 128-B rows on v5e). This
-    reinterprets the gathered bytes back: u8 [..., 4*dim] -> f32 [..., dim].
-    Native-dtype tables (u8/int8 data, or [N, dim] f32) pass through.
+    MEASURED DEAD END — kept as a guard + documentation. Raw u8 row gathers
+    are ~3x faster than narrow f32 rows at equal bytes (7.4 vs 24.5 ms for
+    640K 128-B rows on v5e), but this bitcast decode forces a (..., 4)-minor
+    relayout that costs far more than the gather saves: gather+decode+L2
+    measured 41.7 ms vs 8.3 ms for the plain f32 path (Q=10K, C=64, D=128).
+    Wide f32 rows (>= 512 B) gather at the same per-row cost as u8, so the
+    packing is never worthwhile; indices store vectors in native dtype and
+    this function is a passthrough in practice.
     """
     if raw.dtype == jnp.uint8 and raw.shape[-1] == 4 * dim:
         return jax.lax.bitcast_convert_type(

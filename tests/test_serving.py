@@ -24,3 +24,17 @@ def test_server_stream(tiny_index):
     pct = server.latency_percentiles()
     assert pct["p50"] > 0 and pct["p99"] >= pct["p50"]
     server.close()
+
+
+def test_device_batch_latency_probe(tiny_index):
+    from bang_tpu.harness.serving import measure_device_batch_latency
+    from bang_tpu.models.index import device_index_from_files
+
+    prefix = tiny_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.float32)[:32]
+    for variant in ("inmemory", "exactdistance"):
+        index = device_index_from_files(prefix, variant=variant)
+        ms = measure_device_batch_latency(
+            index, queries, SearchParams(L=24, k=10), variant=variant, n_chain=3
+        )
+        assert np.isfinite(ms) and ms >= 0.0
