@@ -27,8 +27,9 @@ class DeviceIndex(NamedTuple):
     vectors: Optional[jnp.ndarray]  # [N, D] original dtype
     vector_norms: Optional[jnp.ndarray]  # [N] f32 squared norms
     codes: Optional[jnp.ndarray]  # [N, m] uint8 PQ codes
-    nbr_codes: Optional[jnp.ndarray]  # [N, R, m] u8 — neighbors' codes, row-
-    # aligned per parent (gather-efficient CAGRA-style layout; R x memory)
+    nbr_codes: Optional[jnp.ndarray]  # [N, R*m] u8 — neighbors' codes, row-
+    # aligned per parent, FLAT so no lane padding (gather-efficient
+    # CAGRA-style layout; R x the code memory)
     nbr_vecs: Optional[jnp.ndarray]  # [N, R, D] — neighbors' vectors (same
     # layout trick for the exactdistance variant; R x the vector memory)
     nbr_vec_norms: Optional[jnp.ndarray]  # [N, R] f32
@@ -85,7 +86,10 @@ def build_device_index(
 
     if neighbor_codes:
         assert adj is not None and codes is not None
-        nbr_codes = jax.jit(lambda c, a: c[a])(codes, adj)  # one device gather
+        # stored FLAT [N, R*m]: a u8 minor dim of m=64 would be lane-padded
+        # to 128 on TPU, doubling every gather's HBM traffic (measured
+        # 6.9 -> 5.7 ms/iter for gather+lookup at Q=10K, beam=2, R=m=64)
+        nbr_codes = jax.jit(lambda c, a: c[a].reshape(a.shape[0], -1))(codes, adj)
     if neighbor_vectors:
         assert adj is not None and vectors is not None
         nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)

@@ -197,10 +197,11 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
     impl: "pallas" (TPU lane-gather kernel, bf16 tables — see ops/pq_pallas),
     "xla" (take_along_axis; fine on CPU, very slow on TPU), or "auto".
 
-    nbr_codes [N, R, m] (optional): neighbor-aligned code layout — candidate
-    codes are fetched per PARENT as one contiguous R*m-byte row instead of R
-    scattered m-byte rows; the per-iteration gather drops from ~5 ms to
-    sub-ms at Q=10K, R=64, m=64 (TPU gathers hate sub-tile rows).
+    nbr_codes [N, R*m] u8 (optional): neighbor-aligned code layout —
+    candidate codes are fetched per PARENT as one contiguous R*m-byte row
+    instead of R scattered m-byte rows (TPU gathers hate sub-tile rows).
+    Stored flat: an m-wide u8 minor dim would be lane-padded to 128,
+    doubling the gather's HBM traffic.
     """
     from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed, use_pallas_default
 
@@ -211,7 +212,7 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
     def fetch_codes(cand_ids, parents):
         if nbr_codes is not None and parents is not None:
             q = cand_ids.shape[0]
-            m = nbr_codes.shape[-1]
+            m = codebook.num_chunks
             return nbr_codes[parents].reshape(q, -1, m)  # aligned row gather
         return codes[cand_ids]  # [Q, C, m] scattered gather
 
