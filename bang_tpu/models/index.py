@@ -93,7 +93,9 @@ def build_device_index(
     if neighbor_vectors:
         assert adj is not None and vectors is not None
         nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)
-        nbr_vec_norms = jax.jit(lambda nn, a: nn[a])(norms, adj)
+        # nbr_vec_norms intentionally NOT materialized: the search recomputes
+        # candidate norms from the gathered rows (a separate aligned norm
+        # gather costs ~1.5 ms fixed per iteration vs ~0.1 ms of VPU work)
     assert medoid is not None, "medoid required"
     return DeviceIndex(
         adj=adj,

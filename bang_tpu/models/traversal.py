@@ -168,9 +168,10 @@ def make_exact_distance_fn(
     Scattered paths recompute candidate norms on the fly instead of paying a
     second scattered gather for vector_norms.
 
-    nbr_vecs [N, R, D or 4*D] / nbr_vec_norms [N, R] (optional):
-    neighbor-aligned vector layout — candidates fetched per PARENT as
-    contiguous R*D rows (same trick as nbr_codes; R x the vector memory)."""
+    nbr_vecs [N, R, D] (optional): neighbor-aligned vector layout —
+    candidates fetched per PARENT as contiguous R*D rows (same trick as
+    nbr_codes; R x the vector memory). nbr_vec_norms is accepted for
+    signature stability but unused — norms are recomputed (see below)."""
     from bang_tpu.ops.l2 import decode_row_gather
 
     d = queries_f32.shape[-1]
@@ -181,11 +182,12 @@ def make_exact_distance_fn(
             vecs = decode_row_gather(
                 nbr_vecs[parents].reshape(q, -1, nbr_vecs.shape[-1]), d
             )
-            norms = nbr_vec_norms[parents].reshape(q, -1)
         else:
             vecs = decode_row_gather(vectors[cand_ids], d)  # [Q, C, D] gather
-            norms = None  # computed from vecs; skips a scattered norm gather
-        return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
+        # candidate norms are recomputed from the gathered rows: every gather
+        # op pays a ~1.5 ms fixed cost on v5e, while the squared-sum is ~0.1
+        # ms of VPU work (and exact for u8 data — values < 2^24 in f32)
+        return l2_distance_to_candidates(queries_f32, vecs, None, precision=precision)
 
     return distance_fn
 
