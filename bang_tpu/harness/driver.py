@@ -88,13 +88,37 @@ def main(argv=None):
     p.add_argument("--pipeline", type=int, default=None,
                    help="base variant: query sub-batches kept in flight")
     p.add_argument("--json", action="store_true", help="emit one JSON line per L")
+    p.add_argument("--dataset", default=None,
+                   help="dataset preset name (utils/config.py::DATASET_PRESETS; "
+                        "the reference's parANN.h #define blocks): validates "
+                        "index dim/dtype and seeds the auto-sweep start L")
     args = p.parse_args(argv)
+
+    preset = None
+    if args.dataset is not None:
+        from bang_tpu.utils.config import DATASET_PRESETS
+
+        preset = DATASET_PRESETS.get(args.dataset)
+        if preset is None:
+            p.error(f"unknown dataset {args.dataset!r}; "
+                    f"known: {', '.join(sorted(DATASET_PRESETS))}")
+        if preset.dtype != args.dtype and not (
+            preset.dtype == "float32" and args.dtype == "float"
+        ):
+            log_message(f"WARNING: dataset {preset.name} is {preset.dtype}, "
+                        f"CLI says {args.dtype}")
 
     dist_func = ENUM_DIST_L2 if args.distfn == "l2" else ENUM_DIST_MIPS
     engine = BANGSearch(variant=args.variant, dist_func=dist_func)
     log_message("LOAD STARTED")
     engine.bang_load(args.index_prefix, n_pipeline_batches=args.pipeline)
     log_message("LOAD DONE")
+    if preset is not None:
+        dim = (engine._searcher.meta.dim if args.variant == "base"
+               else engine._index.dim)
+        if dim != preset.dim:
+            log_message(f"WARNING: index dim {dim} != preset {preset.name} "
+                        f"dim {preset.dim}")
 
     # queries: element dtype matches the dataset (size-probed for f32
     # tooling output); search always runs f32
@@ -123,7 +147,7 @@ def main(argv=None):
         L = args.L or max(args.k, 10)
         report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
     elif args.mode == "auto":
-        L = max(args.k, 10)
+        L = max(args.k, 10) if preset is None else max(args.k, preset.default_L)
         while L <= args.max_L:
             best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
             if args.target_recall is not None and best[2] >= args.target_recall:

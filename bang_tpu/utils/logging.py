@@ -8,6 +8,11 @@ import time
 _T0 = time.time()
 
 
-def log_message(msg: str, file=sys.stdout) -> None:
-    """Print `msg` with wall-clock milliseconds since process start."""
-    print(f"[{(time.time() - _T0) * 1000.0:12.3f} ms] {msg}", file=file, flush=True)
+def log_message(msg: str, file=None) -> None:
+    """Print `msg` with wall-clock milliseconds since process start.
+
+    The stream is resolved at CALL time (a `file=sys.stdout` default would
+    bind the import-time stream object and bypass later redirection —
+    pytest capture, nohup, etc.)."""
+    out = sys.stdout if file is None else file
+    print(f"[{(time.time() - _T0) * 1000.0:12.3f} ms] {msg}", file=out, flush=True)

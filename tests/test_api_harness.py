@@ -76,6 +76,31 @@ def test_driver_single_mode(tiny_index, capsys):
     assert recall >= 85.0
 
 
+def test_driver_dataset_preset(tiny_index, capsys):
+    """--dataset wires DATASET_PRESETS (the reference's parANN.h #define
+    blocks): dim/dtype mismatches warn, auto mode starts at the preset L."""
+    prefix = tiny_index["prefix"]
+    rc = driver.main(
+        [
+            prefix, prefix + "_query.bin", prefix + "_gt.bin",
+            "32", "10", "float", "l2",
+            "--variant", "inmemory", "--mode", "single", "--L", "48",
+            "--reps", "1", "--dataset", "sift10k",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "WARNING: index dim 48 != preset sift10k dim 128" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        driver.main(
+            [prefix, prefix + "_query.bin", prefix + "_gt.bin",
+             "32", "10", "float", "l2", "--dataset", "nope"]
+        )
+
+
 def test_driver_auto_sweep_target(tiny_index, capsys):
     prefix = tiny_index["prefix"]
     rc = driver.main(
