@@ -73,12 +73,10 @@ def _init_state(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_bloom", "pq_impl", "beam"), donate_argnums=(0,))
-def _base_step(
-    state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom,
-    pq_impl="xla", beam=1,
-):
-    """One device iteration given host-gathered neighbors + parent vectors.
+def _step_core(state: BaseState, nbrs, parent_fp, queries_f32, raw, use_bloom, beam):
+    """One device iteration given host-gathered neighbors, parent vectors and
+    the raw candidate distances `raw` [Q, C] (PQ lookup — single-chip or
+    chunk-sharded, see parallel/base_tp.py).
 
     nbrs: [Q, P*R] (P parents' adjacency rows); parent_fp: [Q, P, D] f32.
     """
@@ -107,12 +105,6 @@ def _base_step(
             new = new & first_occurrence_mask_blocks(nbrs, beam)
         bloom = state.bloom
 
-    if pq_impl == "pallas":
-        from bang_tpu.ops.pq_pallas import pq_lookup_packed
-
-        raw = pq_lookup_packed(tables, codes[nbrs])  # tables pre-packed int32
-    else:
-        raw = pq_lookup(tables, codes[nbrs])
     dist = jnp.where(new, raw, jnp.inf)
     wl_dist, wl_ids, wl_vis = merge_worklist(
         state.wl_dist, state.wl_ids, state.wl_vis, dist, nbrs
@@ -130,6 +122,21 @@ def _base_step(
         state.it + 1,
     )
     return new_state, parents, active.any()
+
+
+@functools.partial(jax.jit, static_argnames=("use_bloom", "pq_impl", "beam"), donate_argnums=(0,))
+def _base_step(
+    state: BaseState, nbrs, parent_fp, queries_f32, tables, codes, use_bloom,
+    pq_impl="xla", beam=1,
+):
+    """Single-chip step: local PQ lookup + the shared step core."""
+    if pq_impl == "pallas":
+        from bang_tpu.ops.pq_pallas import pq_lookup_packed
+
+        raw = pq_lookup_packed(tables, codes[nbrs])  # tables pre-packed int32
+    else:
+        raw = pq_lookup(tables, codes[nbrs])
+    return _step_core(state, nbrs, parent_fp, queries_f32, raw, use_bloom, beam)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -172,6 +179,21 @@ class BaseVariantSearcher:
         self.n_threads = n_threads
         self.timers = StageTimers(enabled=False)
 
+    def _prepare_tables(self, sub_queries, pq_impl):
+        """Per-sub-batch PQ distance tables (packed for the Pallas kernel)."""
+        from bang_tpu.ops.pq_pallas import pack_tables
+
+        t = pq_distance_tables(self.codebook, sub_queries)
+        return pack_tables(t) if pq_impl == "pallas" else t
+
+    def _run_step(self, state, nbrs, parent_fp, queries_f32, tables,
+                  use_bloom, pq_impl, beam):
+        """One device step (overridden by the chunk-sharded variant)."""
+        return _base_step(
+            state, nbrs, parent_fp, queries_f32, tables, self.codes,
+            use_bloom, pq_impl, beam,
+        )
+
     def _host_gather(self, parents: np.ndarray):
         return gather_parents(
             self.raw,
@@ -210,7 +232,7 @@ class BaseVariantSearcher:
         bounds = np.linspace(0, q_total, nb + 1).astype(int)
         slices = [slice(bounds[i], bounds[i + 1]) for i in range(nb)]
 
-        from bang_tpu.ops.pq_pallas import pack_tables, use_pallas_default
+        from bang_tpu.ops.pq_pallas import use_pallas_default
 
         pq_impl = params.pq_impl
         if pq_impl == "auto":
@@ -218,9 +240,7 @@ class BaseVariantSearcher:
 
         beam = params.beam_width
         sub_q = [jnp.asarray(queries[s]) for s in slices]
-        tables = [pq_distance_tables(self.codebook, sq) for sq in sub_q]
-        if pq_impl == "pallas":
-            tables = [pack_tables(t) for t in tables]
+        tables = [self._prepare_tables(sq, pq_impl) for sq in sub_q]
         states = [
             _init_state(
                 sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom, beam
@@ -255,13 +275,12 @@ class BaseVariantSearcher:
                     nbrs, fp = self._host_gather(parents_host[b].reshape(-1))
                 q_b = parents_host[b].shape[0]
                 with self.timers.stage("dispatch"):
-                    states[b], parents_dev, active_dev = _base_step(
+                    states[b], parents_dev, active_dev = self._run_step(
                         states[b],
                         jnp.asarray(nbrs.reshape(q_b, -1)),
                         jnp.asarray(fp.reshape(q_b, beam, -1)),
                         sub_q[b],
                         tables[b],
-                        self.codes,
                         use_bloom,
                         pq_impl,
                         beam,

@@ -1,3 +1,7 @@
+from bang_tpu.parallel.base_tp import (  # noqa: F401
+    ShardedBaseSearcher,
+    make_base_step_tp,
+)
 from bang_tpu.parallel.partition import build_sharded_index, ShardedIndex  # noqa: F401
 from bang_tpu.parallel.sharded import (  # noqa: F401
     make_mesh,

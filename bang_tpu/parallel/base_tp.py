@@ -1,0 +1,94 @@
+"""Chunk-sharded Base variant: host-RAM graph + PQ codes split across chips.
+
+The billion-scale configuration the reference cannot reach on one card's
+worth of HBM growth: at SIFT1B x m=74 the codes alone are 74 GB (the
+reference holds them on an 80 GB A100, bang_search.cu:232-240; a 16 GB v5e
+cannot). The TPU-native answer keeps the Base design — graph in host RAM,
+host-threaded adjacency gather, software-pipelined sub-batches — and shards
+the PQ **chunk axis** over the mesh's 'model' axis: device i holds
+codes[:, i*m/S:(i+1)*m/S] (74/8 GB per chip on an 8-device mesh) and the
+matching distance-table slice; each step computes its partial lookup sum and
+one `psum` over ICI yields full distances. Per-iteration communication is a
+[Q, C] f32 reduction — independent of m and N. Everything else (dedup,
+worklist merge, parent selection) runs replicated, reusing models/base.py's
+step core verbatim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bang_tpu.models.base import BaseVariantSearcher, _step_core
+from bang_tpu.ops.pq import pq_distance_tables, pq_lookup
+from bang_tpu.parallel.pq_tp import shard_codes_by_chunk, shard_tables_by_chunk
+
+
+def make_base_step_tp(mesh: Mesh):
+    """Build the chunk-sharded device step for `mesh` (axes: 'data','model')."""
+
+    @functools.partial(
+        jax.jit, static_argnames=("use_bloom", "beam"), donate_argnums=(0,)
+    )
+    def step_tp(state, nbrs, parent_fp, queries_f32, tables_sharded,
+                codes_sharded, use_bloom, beam):
+        def partial_lookup(tables, codes, cand):
+            part = pq_lookup(tables[0], codes[0][cand])  # local chunk slice
+            return jax.lax.psum(part, "model")
+
+        raw = jax.shard_map(
+            partial_lookup,
+            mesh=mesh,
+            in_specs=(P("model"), P("model"), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tables_sharded, codes_sharded, nbrs)
+        return _step_core(state, nbrs, parent_fp, queries_f32, raw, use_bloom, beam)
+
+    return step_tp
+
+
+class ShardedBaseSearcher(BaseVariantSearcher):
+    """BaseVariantSearcher with codes/tables chunk-sharded over `mesh`.
+
+    Drop-in: same search() host loop, pipelining, timers and finish path —
+    only table preparation and the device step differ.
+    """
+
+    def __init__(self, prefix: str, mesh: Mesh, **kwargs):
+        super().__init__(prefix, **kwargs)
+        self.mesh = mesh
+        s = mesh.shape["model"]
+        codes_np = np.asarray(jax.device_get(self.codes))
+        m = codes_np.shape[1]
+        if m % s:  # pad chunk axis; padded chunks contribute 0 to distances
+            pad = s - m % s
+            codes_np = np.concatenate(
+                [codes_np, np.zeros((codes_np.shape[0], pad), np.uint8)], axis=1
+            )
+        self._m_padded = codes_np.shape[1]
+        self.codes = None  # replaced by the sharded copy
+        self.codes_sharded = jax.device_put(
+            shard_codes_by_chunk(codes_np, s), NamedSharding(mesh, P("model"))
+        )
+        self._step_tp = make_base_step_tp(mesh)
+
+    def _prepare_tables(self, sub_queries, pq_impl):
+        t = pq_distance_tables(self.codebook, sub_queries)  # [Q, m, 256]
+        if self._m_padded != t.shape[1]:  # padded chunks: all-zero tables
+            t = jnp.pad(t, ((0, 0), (0, self._m_padded - t.shape[1]), (0, 0)))
+        s = self.mesh.shape["model"]
+        return jax.device_put(
+            shard_tables_by_chunk(t, s), NamedSharding(self.mesh, P("model"))
+        )
+
+    def _run_step(self, state, nbrs, parent_fp, queries_f32, tables,
+                  use_bloom, pq_impl, beam):
+        return self._step_tp(
+            state, nbrs, parent_fp, queries_f32, tables, self.codes_sharded,
+            use_bloom, beam,
+        )

@@ -71,3 +71,31 @@ def test_data_parallel_matches_single_device(dataset):
 
     ids_1, _, _ = search_inmemory(index, queries, params)
     np.testing.assert_array_equal(np.asarray(ids_dp), np.asarray(ids_1))
+
+
+def test_sharded_base_variant_matches_single(tiny_index):
+    """Chunk-sharded Base (host graph + codes split over 'model', psum'd
+    partial PQ distances) returns the same answers as the single-chip Base."""
+    from bang_tpu.models.base import BaseVariantSearcher
+    from bang_tpu.parallel.base_tp import ShardedBaseSearcher
+
+    prefix = tiny_index["prefix"]
+    from bang_tpu.formats import load_bin, load_truthset
+
+    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+    params = SearchParams(L=32, k=10, pq_impl="xla")
+
+    single = BaseVariantSearcher(prefix, n_pipeline_batches=1)
+    ids_s, dists_s = single.search(queries, params)
+
+    mesh = make_mesh(2, 4)
+    tp = ShardedBaseSearcher(prefix, mesh, n_pipeline_batches=1)
+    ids_t, dists_t = tp.search(queries, params)
+
+    # same traversal, same distances: identical top-k modulo f32 psum order
+    assert (ids_s == ids_t).mean() > 0.98, (ids_s[:3], ids_t[:3])
+    np.testing.assert_allclose(dists_s, dists_t, rtol=1e-4, atol=1e-2)
+
+    recall = calculate_recall(gt_ids[:64], ids_t, 10, gt_dists[:64])
+    assert recall >= 85.0, recall
