@@ -306,8 +306,8 @@ def main():
                 q10, g10i, g10d = load_bundle(p10, Q)
                 rows = {}
                 for variant, grid in (
-                    ("inmemory", (20, 30, 40, 60, 90, 130)),
-                    ("exactdistance", (12, 16, 20, 30, 45, 70)),
+                    ("inmemory", (12, 14, 16, 20, 30, 40, 60, 90, 130)),
+                    ("exactdistance", (10, 12, 16, 20, 30, 45, 70)),
                 ):
                     rows[variant] = sweep_variant(
                         p10, variant, q10, g10i, g10d, grid=grid

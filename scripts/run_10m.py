@@ -27,8 +27,8 @@ Q = 10_000
 queries, gt_ids, gt_dists = bench.load_bundle(P10, Q)
 
 for variant, grid in (
-    ("inmemory", (20, 30, 40, 60, 90, 130)),
-    ("exactdistance", (12, 16, 20, 30, 45, 70)),
+    ("inmemory", (12, 14, 16, 20, 30, 40, 60, 90, 130)),
+    ("exactdistance", (10, 12, 16, 20, 30, 45, 70)),
 ):
     row = bench.sweep_variant(P10, variant, queries, gt_ids, gt_dists, grid=grid)
     print(f"[10m] {row}", flush=True)
