@@ -106,17 +106,17 @@ def measure_device_batch_latency(
     # remote compiler's request limit on tunneled setups)
     if variant == "inmemory":
         arrays = (index.adj, index.vectors, index.vector_norms, index.codes,
-                  index.nbr_codes, index.codebook)
+                  index.nbr_codes, index.codebook, index.fused_rows)
 
         def one_search(arrays, qq):
-            adj, vectors, norms, codes, nbr_codes, cb = arrays
+            adj, vectors, norms, codes, nbr_codes, cb, fused = arrays
             return _search(
                 adj, vectors, norms, codes, nbr_codes, cb, qq,
                 medoid=index.medoid, l=params.L, k=params.k,
                 max_iters=params.max_iters,
                 use_bloom=params.visited_mode == "bloom",
                 rerank=params.rerank, pq_impl=params.pq_impl,
-                beam=params.beam_width,
+                beam=params.beam_width, fused_rows=fused,
             )
     else:
         arrays = (index.adj, index.vectors, index.vector_norms,

@@ -30,6 +30,9 @@ class DeviceIndex(NamedTuple):
     nbr_codes: Optional[jnp.ndarray]  # [N, R*m] u8 — neighbors' codes, row-
     # aligned per parent, FLAT so no lane padding (gather-efficient
     # CAGRA-style layout; R x the code memory)
+    fused_rows: Optional[jnp.ndarray]  # [N, R*(4+m)] u8 — fused frontier rows
+    # (id byte-planes + chunk-major neighbor codes): ONE gather per parent
+    # yields both candidate ids and PQ distances (ops/pq_pallas.frontier_*)
     nbr_vecs: Optional[jnp.ndarray]  # [N, R, D] — neighbors' vectors (same
     # layout trick for the exactdistance variant; R x the vector memory)
     nbr_vec_norms: Optional[jnp.ndarray]  # [N, R] f32
@@ -47,6 +50,7 @@ def build_device_index(
     medoid: int | None = None,
     neighbor_codes: bool = False,
     neighbor_vectors: bool = False,
+    fused_frontier: bool = False,
 ) -> DeviceIndex:
     """Assemble a DeviceIndex from host-side containers (GraphIndex, PQData).
 
@@ -57,7 +61,7 @@ def build_device_index(
     code memory (4 GB at N=1M, m=64): use for <=10M-point indices.
     """
     adj = vectors = norms = codes = codebook = None
-    nbr_codes = nbr_vecs = nbr_vec_norms = None
+    nbr_codes = nbr_vecs = nbr_vec_norms = fused_rows = None
     n = dim = 0
     if graph is not None:
         n, dim = graph.n, graph.dim
@@ -90,12 +94,15 @@ def build_device_index(
         # to 128 on TPU, doubling every gather's HBM traffic (measured
         # 6.9 -> 5.7 ms/iter for gather+lookup at Q=10K, beam=2, R=m=64)
         nbr_codes = jax.jit(lambda c, a: c[a].reshape(a.shape[0], -1))(codes, adj)
+    if fused_frontier:
+        assert graph is not None and pq is not None and pq.codes is not None
+        from bang_tpu.ops.pq_pallas import pack_frontier_rows
+
+        fused_rows = jnp.asarray(pack_frontier_rows(graph.adj, pq.codes))
     if neighbor_vectors:
         assert adj is not None and vectors is not None
         nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)
-        # nbr_vec_norms intentionally NOT materialized: the search recomputes
-        # candidate norms from the gathered rows (a separate aligned norm
-        # gather costs ~1.5 ms fixed per iteration vs ~0.1 ms of VPU work)
+        nbr_vec_norms = jax.jit(lambda nn, a: nn[a])(norms, adj)
     assert medoid is not None, "medoid required"
     return DeviceIndex(
         adj=adj,
@@ -103,6 +110,7 @@ def build_device_index(
         vector_norms=norms,
         codes=codes,
         nbr_codes=nbr_codes,
+        fused_rows=fused_rows,
         nbr_vecs=nbr_vecs,
         nbr_vec_norms=nbr_vec_norms,
         codebook=codebook,
@@ -140,8 +148,15 @@ def device_index_from_files(
     if variant == "inmemory":
         graph = load_graph_index(prefix)
         pq = load_pq(prefix)
+        fused = False
         if neighbor_codes is None:
-            nc = graph.n * graph.r * pq.num_chunks
-            neighbor_codes = nc <= NEIGHBOR_LAYOUT_BUDGET
-        return build_device_index(graph=graph, pq=pq, neighbor_codes=neighbor_codes)
+            # prefer the fused frontier rows (one gather/parent for ids +
+            # codes) when the R x expansion fits; nbr_codes only on request
+            fb = graph.n * graph.r * (4 + pq.num_chunks)
+            fused = fb <= NEIGHBOR_LAYOUT_BUDGET
+            neighbor_codes = False
+        return build_device_index(
+            graph=graph, pq=pq, neighbor_codes=bool(neighbor_codes),
+            fused_frontier=fused,
+        )
     raise ValueError(f"unknown variant for device index: {variant!r}")

@@ -45,11 +45,13 @@ def _search_inmemory_jit(
     rerank,
     pq_impl="auto",
     beam=1,
+    fused_rows=None,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
     distance_fn = make_pq_distance_fn(
-        queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes
+        queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
+        fused_rows=fused_rows,
     )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     if rerank:
@@ -82,6 +84,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         rerank=params.rerank,
         pq_impl=params.pq_impl,
         beam=params.beam_width,
+        fused_rows=index.fused_rows,
     )
     # ONE host round trip for the scalars (each int() would be a separate
     # blocking device->host read — ~30 ms each through the axon tunnel)

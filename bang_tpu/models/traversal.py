@@ -89,12 +89,22 @@ def init_state(
 
 def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
     """Build the per-iteration body.
-    `distance_fn(cand_ids [Q, C], parents [Q, P]) -> [Q, C] f32`."""
+    `distance_fn(cand_ids [Q, C], parents [Q, P]) -> [Q, C] f32`.
+
+    When distance_fn exposes `frontier_fn(parents) -> (cand_ids, raw_dists)`
+    (the fused frontier-row layout), the adjacency gather disappears: one
+    gather per parent yields both the candidate ids and their PQ distances.
+    """
     r = adj.shape[1]
+    frontier_fn = getattr(distance_fn, "frontier_fn", None)
 
     def step(state: TraversalState) -> TraversalState:
         q = state.parents.shape[0]
-        cand = adj[state.parents].reshape(q, beam * r)  # adjacency gather
+        if frontier_fn is not None:
+            cand, raw = frontier_fn(state.parents)  # ONE fused gather
+        else:
+            cand = adj[state.parents].reshape(q, beam * r)  # adjacency gather
+            raw = None
         cand_valid = jnp.repeat(state.parent_valid, r, axis=1)
 
         if use_bloom:
@@ -110,7 +120,9 @@ def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
         else:
             bloom = state.bloom
 
-        dist = jnp.where(new, distance_fn(cand, state.parents), jnp.inf)
+        if raw is None:
+            raw = distance_fn(cand, state.parents)
+        dist = jnp.where(new, raw, jnp.inf)
         wl_dist, wl_ids, wl_vis = merge_worklist(
             state.wl_dist, state.wl_ids, state.wl_vis, dist, cand
         )
@@ -182,17 +194,28 @@ def make_exact_distance_fn(
             vecs = decode_row_gather(
                 nbr_vecs[parents].reshape(q, -1, nbr_vecs.shape[-1]), d
             )
+            # aligned path: the precomputed norm rows ride the same parent
+            # gather pattern; measured FASTER than recomputing (199.8K vs
+            # 188.1K qps on the 1M exact bench)
+            norms = (
+                nbr_vec_norms[parents].reshape(q, -1)
+                if nbr_vec_norms is not None else None
+            )
         else:
+            # scattered path: recompute norms from the gathered rows — a
+            # second scattered gather costs more than the ~0.1 ms squared-sum
+            # (exact for u8 data: values < 2^24 in f32)
             vecs = decode_row_gather(vectors[cand_ids], d)  # [Q, C, D] gather
-        # candidate norms are recomputed from the gathered rows: every gather
-        # op pays a ~1.5 ms fixed cost on v5e, while the squared-sum is ~0.1
-        # ms of VPU work (and exact for u8 data — values < 2^24 in f32)
-        return l2_distance_to_candidates(queries_f32, vecs, None, precision=precision)
+            norms = None
+        return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
 
     return distance_fn
 
 
-def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_codes=None):
+def make_pq_distance_fn(
+    queries_f32, codebook, codes, impl: str = "auto", nbr_codes=None,
+    fused_rows=None,
+):
     """Traversal distance: PQ table lookup over gathered 8-bit codes
     (BANG_Base/Inmemory behavior). Tables built once per batch on the MXU.
 
@@ -204,12 +227,23 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
     instead of R scattered m-byte rows (TPU gathers hate sub-tile rows).
     Stored flat: an m-wide u8 minor dim would be lane-padded to 128,
     doubling the gather's HBM traffic.
+
+    fused_rows [N, R*(4+m)] u8 (optional, preferred): fused frontier rows
+    (ops/pq_pallas.pack_frontier_rows) — attaches a `frontier_fn` so the
+    traversal fetches ids AND distances with ONE gather per parent.
     """
-    from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed, use_pallas_default
+    from bang_tpu.ops.pq_pallas import (
+        frontier_decode_xla,
+        frontier_lookup,
+        pack_tables,
+        pq_lookup_packed,
+        use_pallas_default,
+    )
 
     if impl == "auto":
         impl = "pallas" if use_pallas_default() else "xla"
     tables = pq_distance_tables(codebook, queries_f32)
+    m = codebook.num_chunks
 
     def fetch_codes(cand_ids, parents):
         if nbr_codes is not None and parents is not None:
@@ -243,6 +277,23 @@ def make_pq_distance_fn(queries_f32, codebook, codes, impl: str = "auto", nbr_co
 
         def distance_fn(cand_ids, parents=None):
             return pq_lookup(tables, fetch_codes(cand_ids, parents))
+
+    if fused_rows is not None:
+        r = fused_rows.shape[1] // (4 + m)
+
+        if impl == "pallas":
+
+            def frontier_fn(parents):
+                rows = fused_rows[parents]  # [Q, beam, r*(4+m)] ONE gather
+                return frontier_lookup(packed, rows, m, r, parents.shape[1])
+
+        else:
+
+            def frontier_fn(parents):
+                rows = fused_rows[parents]
+                return frontier_decode_xla(tables, rows, m, r, parents.shape[1])
+
+        distance_fn.frontier_fn = frontier_fn
 
     return distance_fn
 

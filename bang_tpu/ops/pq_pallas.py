@@ -111,3 +111,114 @@ def pq_lookup_packed(
 def use_pallas_default() -> bool:
     """Pallas path on real TPU; XLA path elsewhere (CPU tests, interpreters)."""
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused frontier kernel: ONE gather per parent yields neighbor ids + PQ dists.
+# ---------------------------------------------------------------------------
+
+def pack_frontier_rows(adj, codes):
+    """Build the fused frontier table [N, 4R + m*R] u8 (host-side numpy).
+
+    Per node, byte-contiguous so the kernel needs only contiguous static
+    slices (Mosaic rejects strided slices and general reshapes):
+      [ id byte-plane 0 (R bytes) | plane 1 | plane 2 | plane 3 |
+        chunk-major codes: chunk 0's R codes | ... | chunk m-1's R codes ]
+
+    adj: [N, R] int32 (self-padded); codes: [N, m] u8. The row fuses what
+    the traversal previously fetched with TWO gathers (adjacency row +
+    neighbor-aligned codes); each gather op costs ~1.5 ms fixed on v5e, so
+    fusing saves ~2.3 ms/iteration at Q=10K, beam=2, R=m=64.
+    """
+    import numpy as np
+
+    n, r = adj.shape
+    m = codes.shape[1]
+    id_planes = (
+        np.ascontiguousarray(adj, dtype=np.int32)
+        .view(np.uint8).reshape(n, r, 4).transpose(0, 2, 1).reshape(n, 4 * r)
+    )
+    nbr_codes = codes[adj]  # [N, R, m]
+    codes_cm = np.ascontiguousarray(nbr_codes.transpose(0, 2, 1)).reshape(n, m * r)
+    return np.concatenate([id_planes, codes_cm], axis=1)
+
+
+def _frontier_kernel(tiles_q, m, r, beam, tables_ref, rows_ref, ids_ref, out_ref):
+    mr = tiles_q * m
+    tab = tables_ref[...].reshape(mr, 128)
+    reps = -(-128 // r)
+
+    for b in range(beam):
+        rows = rows_ref[:, b, :]  # [tiles_q, 4r + m*r] u8
+        idb = rows[:, : 4 * r].astype(jnp.int32)
+        p0 = idb[:, 0 * r : 1 * r]
+        p1 = idb[:, 1 * r : 2 * r]
+        p2 = idb[:, 2 * r : 3 * r]
+        p3 = idb[:, 3 * r : 4 * r]
+        ids_ref[:, b * r : (b + 1) * r] = p0 | (p1 << 8) | (p2 << 16) | (p3 << 24)
+
+        cd = rows[:, 4 * r :].astype(jnp.int32)  # chunk-major codes
+        slices = []
+        for j in range(m):
+            s = cd[:, j * r : (j + 1) * r]
+            if r < 128:
+                s = jnp.concatenate([s] * reps, axis=1)[:, :128]
+            slices.append(s)
+        idx = jnp.stack(slices, axis=1).reshape(mr, 128)
+        word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
+        shift = (idx & 1) << 4
+        half = (word >> shift) & jnp.int32(0xFFFF)
+        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
+        sums = vals.reshape(tiles_q, m, 128).sum(axis=1)
+        out_ref[:, b * r : (b + 1) * r] = sums[:, :r]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "r", "beam", "tile_q"))
+def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16):
+    """(ids [Q, beam*r] i32, dists [Q, beam*r] f32) from fused frontier rows.
+
+    packed_tables: [Q, m, 128] int32 (pack_tables); rows: [Q, beam, 4r+m*r]
+    u8 — the gathered fused rows of each query's `beam` parents.
+    """
+    q = packed_tables.shape[0]
+    c = beam * r
+    q_pad = -(-q // tile_q) * tile_q
+    if q_pad != q:
+        packed_tables = jnp.pad(packed_tables, ((0, q_pad - q), (0, 0), (0, 0)))
+        rows = jnp.pad(rows, ((0, q_pad - q), (0, 0), (0, 0)))
+    ids, dists = pl.pallas_call(
+        functools.partial(_frontier_kernel, tile_q, m, r, beam),
+        grid=(q_pad // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, beam, 4 * r + m * r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, c), jnp.float32),
+        ),
+    )(packed_tables, rows)
+    return ids[:q], dists[:q]
+
+
+def frontier_decode_xla(tables, rows, m, r, beam):
+    """Pure-XLA fused-frontier decode (CPU tests / non-TPU backends).
+
+    Same contract as frontier_lookup but takes UNPACKED tables [Q, m, 256].
+    """
+    from bang_tpu.ops.pq import pq_lookup
+
+    q = rows.shape[0]
+    idb = rows[:, :, : 4 * r].astype(jnp.int32).reshape(q, beam, 4, r)
+    ids = (
+        idb[:, :, 0] | (idb[:, :, 1] << 8) | (idb[:, :, 2] << 16)
+        | (idb[:, :, 3] << 24)
+    ).reshape(q, beam * r)
+    cd = rows[:, :, 4 * r :].reshape(q, beam, m, r)
+    codes = jnp.swapaxes(cd, 2, 3).reshape(q, beam * r, m)  # [Q, C, m]
+    return ids, pq_lookup(tables, codes)

@@ -1,9 +1,12 @@
 """Fused adj+codes frontier row: ONE gather per parent, kernel emits ids+dists.
 
-Layout per node: [R x i32 neighbor ids as LE bytes | R*m u8 codes] -> flat
-u8 [N, 4R + R*m]. Saves the separate adjacency gather's ~1.5 ms fixed cost;
-the id assembly (u8 quads -> i32) happens in VMEM where the relayout is
-cheap, unlike the XLA-side bitcast (measured catastrophic in HBM).
+Layout per node (all byte-contiguous so the kernel needs only contiguous
+static slices — Mosaic rejects strided slicing and most reshapes):
+  [ id byte-plane 0 (R bytes) | plane 1 | plane 2 | plane 3 |
+    chunk-major codes: chunk 0's R codes | chunk 1's R codes | ... ]
+-> flat u8 [N, 4R + m*R]. Saves the separate adjacency gather's ~1.5 ms
+fixed cost; id assembly (4 planes -> i32) and the code restructure happen in
+VMEM via contiguous slices + the proven (x, 128) retile.
 """
 
 import functools
@@ -26,52 +29,50 @@ from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed
 
 N, R, M, Q, BEAM = 1_000_000, 64, 64, 10_000, 2
 C = BEAM * R
-ROW = 4 * R + R * M  # 4352
+ROW = 4 * R + M * R
 ITERS = 20
 
 rng = np.random.default_rng(0)
 adj_np = rng.integers(0, N, (N, R), dtype=np.int32)
 codes_nrm = rng.integers(0, 256, (N, R, M), dtype=np.uint8)
-fused_np = np.concatenate(
-    [adj_np.view(np.uint8).reshape(N, 4 * R), codes_nrm.reshape(N, R * M)], axis=1
-)
+id_planes = adj_np.view(np.uint8).reshape(N, R, 4).transpose(0, 2, 1).reshape(N, 4 * R)
+codes_cm = np.ascontiguousarray(codes_nrm.transpose(0, 2, 1)).reshape(N, M * R)
+fused_np = np.concatenate([id_planes, codes_cm], axis=1)
 tables = jnp.asarray(rng.normal(size=(Q, M, 256)).astype(np.float32) ** 2)
 packed = jax.jit(pack_tables)(tables)
 parents = jnp.asarray(rng.integers(0, N, (Q, BEAM), dtype=np.int32))
 fused = jnp.asarray(fused_np)
-del fused_np
+del fused_np, id_planes, codes_cm
 
 
-def _kernel_fused(tiles_q, m, r, beam, c, tables_ref, rows_ref, ids_ref, out_ref):
+def _kernel_fused(tiles_q, m, r, beam, tables_ref, rows_ref, ids_ref, out_ref):
     mr = tiles_q * m
     tab = tables_ref[...].reshape(mr, 128)
-    rows = rows_ref[...]  # [tiles_q, beam, ROW] u8
+    reps = -(-128 // r)
 
-    # ---- ids: assemble i32 from 4 LE bytes (VMEM-local shuffles) ----
     for b in range(beam):
-        idb = rows[:, b, : 4 * r].astype(jnp.int32)  # [tiles_q, 4r]
-        b0 = idb[:, 0::4]
-        b1 = idb[:, 1::4]
-        b2 = idb[:, 2::4]
-        b3 = idb[:, 3::4]
-        ids_ref[:, b * r : (b + 1) * r] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        rows = rows_ref[:, b, :]  # [tiles_q, ROW] u8
+        idb = rows[:, : 4 * r].astype(jnp.int32)
+        p0 = idb[:, 0 * r : 1 * r]
+        p1 = idb[:, 1 * r : 2 * r]
+        p2 = idb[:, 2 * r : 3 * r]
+        p3 = idb[:, 3 * r : 4 * r]
+        ids_ref[:, b * r : (b + 1) * r] = p0 | (p1 << 8) | (p2 << 16) | (p3 << 24)
 
-    # ---- codes -> distances (same as flat path, via XLA-side reshape we
-    # cannot do here; instead per-beam chunk loop with strided slices) ----
-    for b in range(beam):
-        cd = rows[:, b, 4 * r :].astype(jnp.int32)  # [tiles_q, r*m]
-        acc = jnp.zeros((tiles_q, r), jnp.float32)
+        cd = rows[:, 4 * r :].astype(jnp.int32)  # [tiles_q, m*r] chunk-major
+        slices = []
         for j in range(m):
-            tab_j = tables_ref[:, j, :]  # [tiles_q, 128]
-            idx = cd[:, j::m]  # [tiles_q, r] codes of chunk j
+            s = cd[:, j * r : (j + 1) * r]  # contiguous chunk-j codes
             if r < 128:
-                reps = -(-128 // r)
-                idx = jnp.concatenate([idx] * reps, axis=1)[:, :128]
-            word = jnp.take_along_axis(tab_j, idx >> 1, axis=1)
-            shift = (idx & 1) << 4
-            half = (word >> shift) & jnp.int32(0xFFFF)
-            acc = acc + pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)[:, :r]
-        out_ref[:, b * r : (b + 1) * r] = acc
+                s = jnp.concatenate([s] * reps, axis=1)[:, :128]
+            slices.append(s)
+        idx = jnp.stack(slices, axis=1).reshape(mr, 128)
+        word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
+        shift = (idx & 1) << 4
+        half = (word >> shift) & jnp.int32(0xFFFF)
+        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
+        sums = vals.reshape(tiles_q, m, 128).sum(axis=1)  # [tiles_q, 128]
+        out_ref[:, b * r : (b + 1) * r] = sums[:, :r]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "m", "r", "beam"))
@@ -79,11 +80,12 @@ def fused_lookup(packed_tables, rows, m, r, beam, tile_q=32):
     q = packed_tables.shape[0]
     c = beam * r
     return pl.pallas_call(
-        functools.partial(_kernel_fused, tile_q, m, r, beam, c),
+        functools.partial(_kernel_fused, tile_q, m, r, beam),
         grid=(q // tile_q,),
         in_specs=[
             pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, beam, ROW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, beam, 4 * r + m * r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -134,3 +136,16 @@ def pipe(parents, fused, packed):
 
 
 timed("FUSED: one gather + ids+dists kernel", pipe, parents, fused, packed)
+
+for tq in (16, 64):
+    @functools.partial(jax.jit, static_argnames=("tq",))
+    def pipe_t(parents, fused, packed, tq):
+        def step(i, acc):
+            p = (parents + i) % N
+            ids, dists = fused_lookup(packed, fused[p], M, R, BEAM, tile_q=tq)
+            return acc + dists.sum() + ids.sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, step, jnp.zeros((), jnp.float32))
+
+    timed(f"FUSED tile_q={tq}", lambda a, b, c, tq=tq: pipe_t(a, b, c, tq),
+          parents, fused, packed)

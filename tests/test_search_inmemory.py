@@ -83,6 +83,24 @@ def test_neighbor_codes_layout_matches(tiny_index):
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
 
 
+def test_fused_frontier_layout_matches(tiny_index):
+    """Fused frontier rows (ONE gather per parent yields ids + distances)
+    give identical results to the plain scattered layout, incl. beam>1."""
+    from bang_tpu.models.index import device_index_from_files
+
+    prefix = tiny_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    idx_plain = device_index_from_files(prefix, neighbor_codes=False)
+    idx_fused = device_index_from_files(prefix)  # default: fused when it fits
+    assert idx_fused.fused_rows is not None and idx_plain.fused_rows is None
+    for beam in (1, 2):
+        params = SearchParams(L=48, k=10, beam_width=beam)
+        ids_a, d_a, _ = search_inmemory(idx_plain, queries, params)
+        ids_b, d_b, _ = search_inmemory(idx_fused, queries, params)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+        np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
+
+
 def test_neighbor_codes_beam_matches(tiny_index):
     from bang_tpu.models.index import device_index_from_files
 
