@@ -60,7 +60,8 @@ DATA_VERSION = "v2"  # bump when make_clustered_data changes
 # cheap iterations; PQ prefers beam=2
 VARIANT_CONFIGS = {
     "exactdistance": {"beam": 1, "extra": 6, "grid": (10, 12, 16, 20, 30, 40, 60, 100)},
-    "inmemory": {"beam": 2, "extra": 12, "grid": (12, 16, 20, 25, 30, 40, 60, 100, 160)},
+    "inmemory": {"beam": 2, "extra": 11,
+                 "grid": (11, 12, 14, 16, 20, 25, 30, 40, 60, 100, 160)},
 }
 
 
