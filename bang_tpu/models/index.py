@@ -151,10 +151,13 @@ def device_index_from_files(
         fused = False
         if neighbor_codes is None:
             # prefer the fused frontier rows (one gather/parent for ids +
-            # codes) when the R x expansion fits; nbr_codes only on request
+            # codes) when the R x expansion fits and R is 64-aligned (a
+            # Mosaic lane-slice limitation, see pq_pallas.pack_frontier_rows);
+            # otherwise fall back to the flat nbr_codes layout
             fb = graph.n * graph.r * (4 + pq.num_chunks)
-            fused = fb <= NEIGHBOR_LAYOUT_BUDGET
-            neighbor_codes = False
+            fused = fb <= NEIGHBOR_LAYOUT_BUDGET and graph.r % 64 == 0
+            nc = graph.n * graph.r * pq.num_chunks
+            neighbor_codes = (not fused) and nc <= NEIGHBOR_LAYOUT_BUDGET
         return build_device_index(
             graph=graph, pq=pq, neighbor_codes=bool(neighbor_codes),
             fused_frontier=fused,

@@ -129,10 +129,21 @@ def pack_frontier_rows(adj, codes):
     the traversal previously fetched with TWO gathers (adjacency row +
     neighbor-aligned codes); each gather op costs ~1.5 ms fixed on v5e, so
     fusing saves ~2.3 ms/iteration at Q=10K, beam=2, R=m=64.
+
+    R must be a multiple of 64: Mosaic miscompiles the 32-wide byte-plane
+    lane slices at offset 64 (observed: plane 2 dropped for lanes 16..31 —
+    ids came back masked to 16 bits at R=32, silently halving recall on any
+    graph with >65536 nodes). R in {64, 128} lowers correctly (validated
+    bit-exact at N=1M, which exercises plane 2).
     """
     import numpy as np
 
     n, r = adj.shape
+    if r % 64:
+        raise ValueError(
+            f"fused frontier rows require R % 64 == 0 (got R={r}); use the "
+            "nbr_codes layout instead — see the Mosaic slicing note above"
+        )
     m = codes.shape[1]
     id_planes = (
         np.ascontiguousarray(adj, dtype=np.int32)

@@ -83,13 +83,20 @@ def test_neighbor_codes_layout_matches(tiny_index):
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
 
 
-def test_fused_frontier_layout_matches(tiny_index):
+def test_fused_frontier_layout_matches(tmp_path):
     """Fused frontier rows (ONE gather per parent yields ids + distances)
-    give identical results to the plain scattered layout, incl. beam>1."""
+    give identical results to the plain scattered layout, incl. beam>1.
+
+    Uses R=64 — the fused layout requires R % 64 == 0 (Mosaic lane-slice
+    limitation; smaller R falls back to nbr_codes automatically)."""
+    from bang_tpu.formats import synthetic
     from bang_tpu.models.index import device_index_from_files
 
-    prefix = tiny_index["prefix"]
-    queries = load_bin(prefix + "_query.bin", np.float32)[:64]
+    prefix = str(tmp_path / "fx")
+    synthetic.build_synthetic_index(
+        prefix, n=3000, dim=32, r=64, m=8, n_queries=48, k=10, seed=21
+    )
+    queries = load_bin(prefix + "_query.bin", np.float32)[:48]
     idx_plain = device_index_from_files(prefix, neighbor_codes=False)
     idx_fused = device_index_from_files(prefix)  # default: fused when it fits
     assert idx_fused.fused_rows is not None and idx_plain.fused_rows is None
@@ -99,6 +106,20 @@ def test_fused_frontier_layout_matches(tiny_index):
         ids_b, d_b, _ = search_inmemory(idx_fused, queries, params)
         np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
         np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
+
+
+def test_fused_frontier_requires_r64(tiny_index):
+    """R not divisible by 64 falls back to nbr_codes (and pack raises)."""
+    from bang_tpu.models.index import device_index_from_files
+    from bang_tpu.ops.pq_pallas import pack_frontier_rows
+    import pytest as _pytest
+
+    idx = device_index_from_files(tiny_index["prefix"])  # tiny index has r=24
+    assert idx.fused_rows is None and idx.nbr_codes is not None
+    with _pytest.raises(ValueError, match="R % 64"):
+        pack_frontier_rows(
+            np.zeros((10, 24), np.int32), np.zeros((10, 8), np.uint8)
+        )
 
 
 def test_neighbor_codes_beam_matches(tiny_index):
