@@ -96,7 +96,10 @@ class BANGSearch:
             # reachability. For the base variant the BFS walks the host mmap.
             from bang_tpu.utils.graph_tools import warmup_touch
 
-            warmup_touch(self._index if self.variant != "base" else self._searcher)
+            touched = warmup_touch(
+                self._index if self.variant != "base" else self._searcher
+            )
+            log_message(f"cache warmup touched {touched} nodes")
         dim = self._dim()
         warm = np.zeros((num_queries, dim), np.float32)
         self._run(warm)
@@ -138,11 +141,20 @@ class BANGSearch:
         )
 
     def bang_free(self) -> None:
-        """Drop compiled-shape state (device search buffers are managed by
-        XLA; jit caches are cleared on unload)."""
+        """Drop compiled-shape state. Device search buffers are transient
+        (allocated inside each compiled search call); index arrays stay in
+        HBM until bang_unload."""
         self._compiled_for = None
 
     def bang_unload(self) -> None:
+        """Release the index: HBM buffers are deleted deterministically (see
+        models.index.free_device_index), not left to garbage collection."""
+        if self._index is not None:
+            from bang_tpu.models.index import free_device_index
+
+            free_device_index(self._index)
+        if self._searcher is not None and getattr(self._searcher, "codes", None) is not None:
+            self._searcher.codes.delete()
         self._index = None
         self._searcher = None
         self._compiled_for = None

@@ -242,7 +242,12 @@ def build_vamana_graph(
         for bi, s in enumerate(range(0, n, batch)):
             p_ids = order[s : s + batch]
             if len(p_ids) < batch:  # keep one compiled shape
-                p_ids = np.resize(p_ids, batch)
+                # pad with OTHER ids from the shuffled order (cycling the
+                # short remainder would re-insert the same points several
+                # times in one batch: each copy gets a distinct reverse-edge
+                # slot, permanently eating degree slack). Distinct whenever
+                # batch <= n; wraps only for datasets smaller than a batch.
+                p_ids = np.resize(order, s + batch)[s : s + batch]
             adj_dev, deg_dev, dropped = _insert_batch(
                 adj_dev, deg_dev, vec_dev, norms_dev,
                 jnp.asarray(p_ids.astype(np.int32)), medoid_dev,

@@ -160,10 +160,14 @@ class BaseVariantSearcher:
         n_pipeline_batches: int = 4,
         n_threads: int = 0,
         mmap: bool = True,
+        keep_codes_on_host: bool = False,
     ):
+        """keep_codes_on_host: leave the [N, m] code matrix as host numpy
+        (self.codes_np) instead of staging it into HBM — required by
+        subclasses that shard codes across a mesh (parallel/base_tp.py),
+        where the full matrix may exceed one chip's memory."""
         self.meta = load_metadata(prefix + "_disk_metadata.bin")
         path = prefix + GRAPH_INDEX_FILE_SUFFIX
-        mode = "r" if mmap else None
         n, entry_len = self.meta.n, self.meta.entry_len
         if mmap:
             self.raw = np.memmap(path, dtype=np.uint8, mode="r", shape=(n, entry_len))
@@ -172,7 +176,11 @@ class BaseVariantSearcher:
                 n, entry_len
             )
         pq = load_pq(prefix)
-        self.codes = jnp.asarray(pq.codes)
+        if keep_codes_on_host:
+            self.codes_np = np.asarray(pq.codes)
+            self.codes = None
+        else:
+            self.codes = jnp.asarray(pq.codes)
         self.codebook = prepare_pq_codebook(pq.pivots, pq.centroid, pq.chunk_offsets)
         self.vec_bytes = self.meta.dim * self.meta.numpy_dtype.itemsize
         self.n_pipeline_batches = n_pipeline_batches

@@ -120,6 +120,24 @@ def build_device_index(
     )
 
 
+def free_device_index(index) -> None:
+    """Deterministically release an index's HBM buffers.
+
+    `del index` alone only drops the Python reference — XLA keeps the device
+    allocations alive until garbage collection runs AND no jit cache entry
+    pins them. Benchmarks that load several multi-GB indices back to back
+    must free explicitly or later allocations see a shrunken HBM pool.
+    """
+    import jax
+
+    for leaf in jax.tree.leaves(index):
+        if hasattr(leaf, "delete"):
+            try:
+                leaf.delete()
+            except Exception:
+                pass  # already deleted / donated
+
+
 # Auto-budget (bytes) for the neighbor-aligned R x expansion layouts. Chosen
 # to leave headroom on a 16 GB v5e chip next to the base arrays.
 NEIGHBOR_LAYOUT_BUDGET = 9 * 1024**3

@@ -11,4 +11,4 @@ from bang_tpu.ops.bloom import (  # noqa: F401
     bloom_insert,
 )
 from bang_tpu.ops.visited import exact_new_mask  # noqa: F401
-from bang_tpu.ops.merge import merge_worklist, select_parents  # noqa: F401
+from bang_tpu.ops.merge import merge_worklist, select_parents_beam  # noqa: F401

@@ -10,10 +10,11 @@ XLA ops:
   * merge_worklist: a single stable `lax.sort` of concat(worklist, candidates)
     by distance with (id, visited) carried as co-sorted operands, sliced to L.
     One sort subsumes both the candidate msort and the worklist merge.
-  * select_parents: the next parent is the first unvisited worklist entry
-    (argmax over the unvisited mask of the distance-sorted list); it is marked
-    visited in place, and a query stays active while any unvisited entry
-    remains — the reference's `d_nextIter` global flag is `active.any()`.
+  * select_parents_beam: the next `beam` parents are the first unvisited
+    worklist entries (top-k over the unvisited mask of the distance-sorted
+    list); they are marked visited in place, and a query stays active while
+    any unvisited entry remains — the reference's `d_nextIter` global flag is
+    `active.any()`. beam=1 reproduces the reference's single-parent schedule.
 
 Empty slots carry id INVALID_ID, distance +inf, visited=True, so they sort to
 the tail and are never selected.
@@ -87,20 +88,3 @@ def select_parents_beam(
     wl_vis = wl_vis.at[rows, mark_idx].set(True, mode="drop")
     active = valid[:, 0]
     return parents, valid, active, wl_vis
-
-
-def select_parents(wl_dist: jnp.ndarray, wl_ids: jnp.ndarray, wl_vis: jnp.ndarray):
-    """Pick the next parent per query and mark it visited.
-
-    Returns (parents [Q] i32 — 0 for finished queries, gathers stay in range;
-    active [Q] bool; updated wl_vis). The worklist is distance-sorted, so the
-    first unvisited slot is the best unexpanded candidate.
-    """
-    l = wl_vis.shape[1]
-    unvis = ~wl_vis
-    active = unvis.any(axis=1)
-    idx = jnp.argmax(unvis, axis=1)  # first True (0 for all-visited rows)
-    parents = jnp.take_along_axis(wl_ids, idx[:, None], axis=1)[:, 0]
-    parents = jnp.where(active, parents, 0)
-    hit = jax.nn.one_hot(idx, l, dtype=jnp.bool_) & active[:, None]
-    return parents, active, wl_vis | hit

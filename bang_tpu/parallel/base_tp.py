@@ -60,10 +60,14 @@ class ShardedBaseSearcher(BaseVariantSearcher):
     """
 
     def __init__(self, prefix: str, mesh: Mesh, **kwargs):
-        super().__init__(prefix, **kwargs)
+        # codes stay host-side through the parent init (the whole point of
+        # this class is a code matrix too big for ONE chip's memory — staging
+        # it on one device before sharding would OOM at the target scale);
+        # only per-chip chunk slices ever touch a device.
+        super().__init__(prefix, keep_codes_on_host=True, **kwargs)
         self.mesh = mesh
         s = mesh.shape["model"]
-        codes_np = np.asarray(jax.device_get(self.codes))
+        codes_np = self.codes_np
         m = codes_np.shape[1]
         if m % s:  # pad chunk axis; padded chunks contribute 0 to distances
             pad = s - m % s
@@ -71,13 +75,27 @@ class ShardedBaseSearcher(BaseVariantSearcher):
                 [codes_np, np.zeros((codes_np.shape[0], pad), np.uint8)], axis=1
             )
         self._m_padded = codes_np.shape[1]
-        self.codes = None  # replaced by the sharded copy
+        self.codes_np = None  # host copy no longer needed
         self.codes_sharded = jax.device_put(
             shard_codes_by_chunk(codes_np, s), NamedSharding(mesh, P("model"))
         )
         self._step_tp = make_base_step_tp(mesh)
+        self._warned_pq_impl = False
 
     def _prepare_tables(self, sub_queries, pq_impl):
+        if pq_impl == "pallas" and not self._warned_pq_impl:
+            # The sharded step runs the XLA take_along_axis lookup inside
+            # shard_map (the packed-table Pallas kernel is not yet wired
+            # through the partial-sum body) — much slower per lookup on TPU
+            # than the single-chip Pallas path. Be loud about it once.
+            from bang_tpu.utils.logging import log_message
+
+            log_message(
+                "ShardedBaseSearcher: pq_impl='pallas' requested but the "
+                "chunk-sharded step uses the XLA lookup; expect lower "
+                "throughput than the single-chip Pallas path"
+            )
+            self._warned_pq_impl = True
         t = pq_distance_tables(self.codebook, sub_queries)  # [Q, m, 256]
         if self._m_padded != t.shape[1]:  # padded chunks: all-zero tables
             t = jnp.pad(t, ((0, 0), (0, self._m_padded - t.shape[1]), (0, 0)))

@@ -34,6 +34,10 @@ class ShardedIndex(NamedTuple):
     codebook: Optional[PQCodebook]  # replicated
     medoids: np.ndarray  # [S] int32 local medoid ids
     id_base: np.ndarray  # [S] int32 global id offset of each shard
+    nbr_codes: Optional[np.ndarray] = None  # [S, n_loc, R*m] u8 — per-shard
+    # neighbor-aligned code rows (the tuned single-chip gather layout,
+    # models/index.py nbr_codes), so the sharded path runs at the same op
+    # point as one chip
 
     @property
     def n_shards(self) -> int:
@@ -50,6 +54,7 @@ def build_sharded_index(
     r: int = 32,
     m: int | None = 16,
     seed: int = 0,
+    neighbor_codes: bool = False,
 ) -> ShardedIndex:
     """Partition `vectors` contiguously into `n_shards` sub-indices.
 
@@ -78,12 +83,21 @@ def build_sharded_index(
         norms[s] = (v64 * v64).sum(-1).astype(np.float32)
         medoids[s] = synthetic.medoid_of(part)
 
+    codes_sh = None if codes_full is None else codes_full.reshape(n_shards, n_loc, -1)
+    nbr_codes = None
+    if neighbor_codes and codes_sh is not None:
+        # flat [n_loc, R*m] per shard — same no-lane-padding trick as the
+        # single-chip layout (models/index.py build_device_index)
+        nbr_codes = np.stack(
+            [codes_sh[s][adj[s]].reshape(n_loc, -1) for s in range(n_shards)]
+        )
     return ShardedIndex(
         adj=adj,
         vectors=vectors.reshape(n_shards, n_loc, -1),
         vector_norms=norms,
-        codes=None if codes_full is None else codes_full.reshape(n_shards, n_loc, -1),
+        codes=codes_sh,
         codebook=codebook,
         medoids=medoids,
         id_base=(np.arange(n_shards, dtype=np.int32) * n_loc),
+        nbr_codes=nbr_codes,
     )

@@ -41,17 +41,33 @@ def make_mesh(data: int, model: int, devices=None) -> Mesh:
     return Mesh(dev_grid, ("data", "model"))
 
 
-def _local_search(adj, vectors, norms, codes, codebook, medoid, id_base, queries, *, l, k, max_iters, use_bloom, beam=1):
-    """Search one shard for one query slice; returns global-id top-k."""
+def _local_search(
+    adj, vectors, norms, codes, nbr_codes, codebook, medoid, id_base, queries,
+    *, l, k, max_iters, use_bloom, beam=1, pq_impl="auto", rerank=True,
+):
+    """Search one shard for one query slice; returns global-id top-k.
+
+    Runs the same tuned configuration as the single-chip engines: the
+    neighbor-aligned nbr_codes layout (when the sharded index carries it) and
+    the requested pq_impl flow through to make_pq_distance_fn, and rerank is
+    honored instead of being forced on.
+    """
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
     if codes is not None:
-        distance_fn = make_pq_distance_fn(queries_f32, codebook, codes)
+        distance_fn = make_pq_distance_fn(
+            queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes
+        )
     else:
         distance_fn = make_exact_distance_fn(queries_f32, vectors, norms)
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
-    ids, dists = rerank_topk(queries_f32, vectors, norms, final.visited_ids, k)
-    return ids + id_base, dists
+    if rerank or codes is None:
+        ids, dists = rerank_topk(queries_f32, vectors, norms, final.visited_ids, k)
+    else:
+        ids, dists = final.wl_ids[:, :k], final.wl_dist[:, :k]
+    # INVALID_ID padding must not collide with real global ids after offset
+    ids = jnp.where(ids < 0, ids, ids + id_base)
+    return ids, dists
 
 
 def search_sharded(
@@ -71,13 +87,14 @@ def search_sharded(
     assert si.n_shards == n_model, (si.n_shards, n_model)
     use_bloom = params.visited_mode == "bloom"
 
-    def per_device(adj, vectors, norms, codes, medoids, id_base, queries):
+    def per_device(adj, vectors, norms, codes, nbr_codes, medoids, id_base, queries):
         # leading shard axis is size 1 inside the shard_map body
         ids, dists = _local_search(
             adj[0],
             vectors[0],
             norms[0],
             None if codes is None else codes[0],
+            None if nbr_codes is None else nbr_codes[0],
             si.codebook,
             medoids[0],
             id_base[0],
@@ -87,6 +104,8 @@ def search_sharded(
             max_iters=params.max_iters,
             use_bloom=use_bloom,
             beam=params.beam_width,
+            pq_impl=params.pq_impl,
+            rerank=params.rerank,
         )
         # gather all shards' candidates and merge: [S, q_loc, k] → top-k
         all_ids = jax.lax.all_gather(ids, "model")
@@ -98,12 +117,14 @@ def search_sharded(
         return jnp.take_along_axis(flat_ids, idx, axis=1), -neg
 
     shard_spec = P("model")
+    nbr_codes = getattr(si, "nbr_codes", None)
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(
             P("model"), P("model"), P("model"),
             None if si.codes is None else P("model"),
+            None if nbr_codes is None else P("model"),
             shard_spec, shard_spec, P("data"),
         ),
         out_specs=(P("data"), P("data")),
@@ -114,6 +135,7 @@ def search_sharded(
         jnp.asarray(si.vectors),
         jnp.asarray(si.vector_norms),
         None if si.codes is None else jnp.asarray(si.codes),
+        None if nbr_codes is None else jnp.asarray(nbr_codes),
         jnp.asarray(si.medoids),
         jnp.asarray(si.id_base),
         jnp.asarray(queries),

@@ -10,7 +10,7 @@ from bang_tpu.constants import INVALID_ID
 from bang_tpu.formats import synthetic
 from bang_tpu.ops.bloom import bloom_insert, bloom_query
 from bang_tpu.ops.l2 import l2_distance_to_candidates
-from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents
+from bang_tpu.ops.merge import init_worklist, merge_worklist, select_parents_beam
 from bang_tpu.ops.pq import prepare_pq_codebook, pq_distance_tables, pq_lookup
 from bang_tpu.ops.visited import exact_new_mask
 
@@ -149,8 +149,9 @@ def test_select_parents():
     wl_d = jnp.asarray([[1.0, 2.0, 3.0], [1.0, 2.0, np.inf]])
     wl_i = jnp.asarray([[10, 20, 30], [40, 50, INVALID_ID]], jnp.int32)
     wl_v = jnp.asarray([[True, False, False], [True, True, True]])
-    parents, active, new_v = select_parents(wl_d, wl_i, wl_v)
-    np.testing.assert_array_equal(np.asarray(parents), [20, 0])
+    parents, valid, active, new_v = select_parents_beam(wl_d, wl_i, wl_v, 1)
+    np.testing.assert_array_equal(np.asarray(parents[:, 0]), [20, 0])
+    np.testing.assert_array_equal(np.asarray(valid[:, 0]), [True, False])
     np.testing.assert_array_equal(np.asarray(active), [True, False])
     np.testing.assert_array_equal(np.asarray(new_v[0]), [True, True, False])
     np.testing.assert_array_equal(np.asarray(new_v[1]), [True, True, True])
@@ -164,7 +165,7 @@ def test_ops_jit_compile():
         mask = exact_new_mask(cand_ids, wl[1], vis_ids)
         d = jnp.where(mask, cand_dist, jnp.inf)
         merged = merge_worklist(*wl, d, cand_ids)
-        parents, active, v = select_parents(*merged)
+        parents, _valid, active, v = select_parents_beam(*merged, 1)
         return parents, active
 
     wl = init_worklist(2, 8)

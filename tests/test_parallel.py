@@ -46,6 +46,34 @@ def test_sharded_pq_search(dataset):
     np.testing.assert_allclose(np.asarray(dists), want, rtol=1e-3, atol=1e-2)
 
 
+def test_sharded_tuned_layout_matches_scattered(dataset):
+    """The tuned configuration (neighbor-aligned nbr_codes rows, explicit
+    pq_impl, rerank flag honored) must traverse identically to the scattered
+    baseline: same params -> same ids. Pins parallel/sharded._local_search to
+    the single-chip op point (round-2 verdict: it silently dropped the tuned
+    layouts)."""
+    data, queries, gt_ids, gt_dists = dataset
+    mesh = make_mesh(2, 4)
+    si_plain = build_sharded_index(data, n_shards=4, r=24, m=16, seed=1)
+    si_tuned = build_sharded_index(
+        data, n_shards=4, r=24, m=16, seed=1, neighbor_codes=True
+    )
+    assert si_tuned.nbr_codes is not None
+    assert si_tuned.nbr_codes.shape == (4, data.shape[0] // 4, 24 * 16)
+    params = SearchParams(L=48, k=10, pq_impl="xla")
+    ids_a, dists_a = search_sharded(mesh, si_plain, queries, params)
+    ids_b, dists_b = search_sharded(mesh, si_tuned, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(dists_a), np.asarray(dists_b), rtol=1e-5)
+
+    # rerank=False returns PQ worklist-head answers — still decent recall
+    ids_nr, _ = search_sharded(
+        mesh, si_tuned, queries, SearchParams(L=48, k=10, pq_impl="xla", rerank=False)
+    )
+    recall_nr = calculate_recall(gt_ids, np.asarray(ids_nr), 10, gt_dists)
+    assert recall_nr >= 70.0, f"no-rerank recall@10: {recall_nr}"
+
+
 def test_sharded_exact_search(dataset):
     data, queries, gt_ids, gt_dists = dataset
     mesh = make_mesh(1, 8)
