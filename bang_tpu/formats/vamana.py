@@ -197,6 +197,8 @@ def build_vamana_graph(
     n_passes: int = 2,
     k_overflow: int | None = None,
     verbose: bool = True,
+    medoid: int | None = None,
+    return_device: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Build a Vamana graph. Returns (adj [N, r] self-padded, degrees, medoid).
 
@@ -204,8 +206,19 @@ def build_vamana_graph(
     (search over the evolving graph + prune + reverse edges) with the
     adjacency donated in place; the host never blocks on the device inside a
     pass, so dispatches pipeline. Scales to 10M+ points on one chip.
+
+    vectors may be a host numpy array OR an already-device-resident jnp array
+    (the sharded >HBM pipeline in formats/bigbuild.py assembles shard vectors
+    on device; a host round trip would cost ~hours through a dev tunnel).
+    Pass `medoid` explicitly in that case. return_device=True skips the final
+    adjacency download and returns device arrays.
     """
-    from bang_tpu.formats.synthetic import medoid_of
+    is_device = not isinstance(vectors, np.ndarray)
+    if medoid is None:
+        from bang_tpu.formats.synthetic import medoid_of
+
+        assert not is_device, "pass medoid= explicitly for device-resident vectors"
+        medoid = medoid_of(vectors)
 
     n = vectors.shape[0]
     rng = np.random.default_rng(seed)
@@ -217,13 +230,20 @@ def build_vamana_graph(
     self_hit = adj[:, :r0] == np.arange(n, dtype=np.int32)[:, None]
     adj[:, :r0][self_hit] = (adj[:, :r0][self_hit] + 1) % n
     degrees = np.full(n, r0, np.int32)
-    medoid = medoid_of(vectors)
 
     adj_dev = jnp.asarray(adj)
     deg_dev = jnp.asarray(degrees)
     del adj, degrees
-    vec_dev = jnp.asarray(vectors)
-    norms_dev = jnp.asarray(_squared_norms_host(vectors))
+    if is_device:
+        vec_dev = vectors
+        # cast INSIDE the jit: XLA fuses it into the reduction (a separate
+        # .astype would materialize an f32 copy of the whole table)
+        norms_dev = jax.jit(
+            lambda v: (v.astype(jnp.float32) ** 2).sum(-1)
+        )(vec_dev)
+    else:
+        vec_dev = jnp.asarray(vectors)
+        norms_dev = jnp.asarray(_squared_norms_host(vectors))
     medoid_dev = jnp.int32(medoid)
 
     batch = min(batch, max(256, n))
@@ -262,11 +282,14 @@ def build_vamana_graph(
                     f"t={time.time() - t_start:.0f}s",
                     file=sys.stderr, flush=True,
                 )
-    adj = np.asarray(jax.device_get(adj_dev))
-    degrees = np.asarray(jax.device_get(deg_dev))
     if verbose:
+        jax.block_until_ready(deg_dev)
         print(
             f"[vamana] built n={n} r={r} in {time.time() - t_start:.0f}s",
             file=sys.stderr, flush=True,
         )
+    if return_device:
+        return adj_dev, deg_dev, medoid
+    adj = np.asarray(jax.device_get(adj_dev))
+    degrees = np.asarray(jax.device_get(deg_dev))
     return adj, degrees, medoid

@@ -120,10 +120,10 @@ def measure_device_batch_latency(
             )
     else:
         arrays = (index.adj, index.vectors, index.vector_norms,
-                  index.nbr_vecs, index.nbr_vec_norms)
+                  index.nbr_vecs, index.nbr_vec_norms, index.fused_vec_rows)
 
         def one_search(arrays, qq):
-            adj, vectors, norms, nbr_vecs, nbr_vec_norms = arrays
+            adj, vectors, norms, nbr_vecs, nbr_vec_norms, fused = arrays
             return _search(
                 adj, vectors, norms, nbr_vecs, nbr_vec_norms, qq,
                 medoid=index.medoid, l=params.L, k=params.k,
@@ -131,6 +131,7 @@ def measure_device_batch_latency(
                 use_bloom=params.visited_mode == "bloom",
                 precision=params.traversal_precision,
                 beam=params.beam_width,
+                fused_vec_rows=fused,
             )
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -148,6 +149,83 @@ def measure_device_batch_latency(
         for _ in range(3):
             t0 = time.perf_counter()
             jax.device_get(chained(arrays, q, n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = timed(1)
+    tn = timed(n_chain)
+    return max(0.0, (tn - t1) / (n_chain - 1) * 1000.0)
+
+
+def measure_base_device_step_ms(
+    searcher, queries: np.ndarray, params: SearchParams, n_chain: int = 17
+) -> float:
+    """Device time of ONE Base-variant device step (ms), chained-slope.
+
+    The Base search loop is host-driven (host gathers adjacency between
+    steps), so its device cost per iteration cannot be read from wall clock
+    on a tunneled setup. This chains `n_chain` steps inside one program
+    (state carried through lax.fori_loop, fixed neighbor input — identical
+    op sequence and shapes each iteration) and reports the slope. Feeds the
+    real-PCIe-host throughput projection: on such a host the pipelined wall
+    time is ~max(total host gather, n_steps x this)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bang_tpu.models.base import _init_state
+    from bang_tpu.ops.pq_pallas import use_pallas_default
+
+    pq_impl = params.pq_impl
+    if pq_impl == "auto":
+        pq_impl = "pallas" if use_pallas_default() else "xla"
+    use_bloom = params.visited_mode == "bloom"
+    beam = params.beam_width
+    q = queries.shape[0]
+    queries_f32 = jnp.asarray(np.asarray(queries, np.float32))
+    tables = searcher._prepare_tables(queries_f32, pq_impl)
+    r = searcher.meta.degree
+    rng = np.random.default_rng(0)
+    nbrs = jnp.asarray(rng.integers(0, searcher.meta.n, (q, beam * r)).astype(np.int32))
+    parent_fp = jnp.zeros((q, beam, searcher.meta.dim), jnp.float32)
+    state0 = _init_state(
+        q, params.L, params.max_iters, searcher.meta.medoid, use_bloom, beam
+    )
+
+    # codes MUST be a jit argument (closed-over device arrays become HLO
+    # constants — GBs of program through the tunnel)
+    codes = getattr(searcher, "codes", None)
+    if codes is not None:
+        from bang_tpu.models.base import _base_step
+
+        def one_step(st, nbrs, fp, qf, tables, codes):
+            return _base_step(st, nbrs, fp, qf, tables, codes, use_bloom,
+                              pq_impl, beam)
+    else:  # chunk-sharded subclass
+        codes = searcher.codes_sharded
+
+        def one_step(st, nbrs, fp, qf, tables, codes):
+            return searcher._step_tp(st, nbrs, fp, qf, tables, codes,
+                                     use_bloom, beam)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(state, nbrs, parent_fp, queries_f32, tables, codes, n):
+        def body(i, st):
+            st2, _parents, _any = one_step(
+                st, nbrs, parent_fp, queries_f32, tables, codes
+            )
+            return st2._replace(it=st.it)  # keep visited-slot writes in range
+        return jax.lax.fori_loop(0, n, body, state).wl_dist.sum()
+
+    def timed(n):
+        jax.device_get(chained(state0, nbrs, parent_fp, queries_f32, tables, codes, n))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(
+                chained(state0, nbrs, parent_fp, queries_f32, tables, codes, n)
+            )
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

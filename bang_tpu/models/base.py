@@ -262,6 +262,7 @@ class BaseVariantSearcher:
             ph[:, 0] = self.meta.medoid
         pending = [None] * nb  # (parents_dev, active_any_dev) in flight
         done = [False] * nb
+        self.last_n_steps = 0  # device steps dispatched (all sub-batches)
 
         # Software pipeline: the host gather for sub-batch b overlaps the
         # device step of the other sub-batches (async JAX dispatch).
@@ -294,6 +295,7 @@ class BaseVariantSearcher:
                         beam,
                     )
                 pending[b] = (parents_dev, active_dev)
+                self.last_n_steps += 1
                 progressed = True
             if not progressed:
                 break

@@ -26,7 +26,7 @@ from bang_tpu.utils.config import SearchParams
 )
 def _search_exact_jit(
     adj, vectors, vector_norms, nbr_vecs, nbr_vec_norms, queries, medoid, l, k,
-    max_iters, use_bloom, precision="highest", beam=1,
+    max_iters, use_bloom, precision="highest", beam=1, fused_vec_rows=None,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -36,6 +36,7 @@ def _search_exact_jit(
     distance_fn = make_exact_distance_fn(
         queries_f32, vectors, vector_norms, precision=prec,
         nbr_vecs=nbr_vecs, nbr_vec_norms=nbr_vec_norms,
+        fused_vec_rows=fused_vec_rows,
     )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
     return (
@@ -66,6 +67,7 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         use_bloom=params.visited_mode == "bloom",
         precision=params.traversal_precision,
         beam=params.beam_width,
+        fused_vec_rows=index.fused_vec_rows,
     )
     iters, n_exp, n_dc = jax.device_get((iters, n_exp, n_dc))
     return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))

@@ -40,6 +40,10 @@ class DeviceIndex(NamedTuple):
     medoid: int  # static
     n: int  # static
     dim: int  # static
+    fused_vec_rows: Optional[jnp.ndarray] = None  # [N, 8R + R*D] u8 — fused
+    # exact-frontier rows (id + norm byte-planes + u8 neighbor vectors): ONE
+    # gather per parent replaces the adj + nbr_vecs + norms triple
+    # (ops/l2.pack_exact_frontier_rows); u8 datasets only
 
 
 def build_device_index(
@@ -51,6 +55,7 @@ def build_device_index(
     neighbor_codes: bool = False,
     neighbor_vectors: bool = False,
     fused_frontier: bool = False,
+    fused_exact_frontier: bool = False,
 ) -> DeviceIndex:
     """Assemble a DeviceIndex from host-side containers (GraphIndex, PQData).
 
@@ -103,8 +108,15 @@ def build_device_index(
         assert adj is not None and vectors is not None
         nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)
         nbr_vec_norms = jax.jit(lambda nn, a: nn[a])(norms, adj)
+    fused_vec_rows = None
+    if fused_exact_frontier:
+        assert adj is not None and vectors is not None
+        from bang_tpu.ops.l2 import pack_exact_frontier_rows
+
+        fused_vec_rows = pack_exact_frontier_rows(adj, vectors, norms)
     assert medoid is not None, "medoid required"
     return DeviceIndex(
+        fused_vec_rows=fused_vec_rows,
         adj=adj,
         vectors=vectors,
         vector_norms=norms,
@@ -160,6 +172,13 @@ def device_index_from_files(
         if neighbor_vectors is None:
             nv = graph.n * graph.r * graph.dim * graph.vectors.dtype.itemsize
             neighbor_vectors = nv <= NEIGHBOR_LAYOUT_BUDGET
+        # NOTE: the fused exact-frontier row (build_device_index
+        # fused_exact_frontier=True) is a MEASURED DEAD END on v5e: one
+        # 8.7KB-u8-row gather alone costs 1.06 ms/iter and the byte decode
+        # of the vector payload adds ~2 ms of relayout, vs 0.62 ms/iter for
+        # the whole triple-gather + distance path it replaces (Q=10K, R=64,
+        # D=128; /tmp/exp_fused_exact.py, round 3). Kept opt-in for
+        # non-standard shapes; auto-selection stays on nbr_vecs.
         return build_device_index(
             graph=graph, pq=None, neighbor_vectors=bool(neighbor_vectors)
         )

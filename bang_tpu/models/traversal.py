@@ -170,7 +170,7 @@ def run_traversal(
 
 def make_exact_distance_fn(
     queries_f32, vectors, vector_norms, precision=None,
-    nbr_vecs=None, nbr_vec_norms=None,
+    nbr_vecs=None, nbr_vec_norms=None, fused_vec_rows=None,
 ):
     """Traversal distance: exact squared L2 read from HBM-resident vectors
     (BANG_Exactdistance behavior, parANN.cu:1139-1179).
@@ -182,9 +182,14 @@ def make_exact_distance_fn(
 
     nbr_vecs [N, R, D] (optional): neighbor-aligned vector layout —
     candidates fetched per PARENT as contiguous R*D rows (same trick as
-    nbr_codes; R x the vector memory). nbr_vec_norms is accepted for
-    signature stability but unused — norms are recomputed (see below)."""
-    from bang_tpu.ops.l2 import decode_row_gather
+    nbr_codes; R x the vector memory). nbr_vec_norms rides the same
+    parent-gather pattern (measured faster than recomputing).
+
+    fused_vec_rows [N, 8R + R*D] u8 (optional, preferred for u8 data):
+    fused exact-frontier rows (ops/l2.pack_exact_frontier_rows) — attaches a
+    `frontier_fn` so ONE gather per parent yields candidate ids, norms AND
+    vectors (the traversal's adjacency gather disappears entirely)."""
+    from bang_tpu.ops.l2 import decode_exact_frontier_rows, decode_row_gather
 
     d = queries_f32.shape[-1]
 
@@ -208,6 +213,19 @@ def make_exact_distance_fn(
             vecs = decode_row_gather(vectors[cand_ids], d)  # [Q, C, D] gather
             norms = None
         return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
+
+    if fused_vec_rows is not None:
+        r = fused_vec_rows.shape[1] // (8 + d)
+
+        def frontier_fn(parents):
+            rows = fused_vec_rows[parents]  # [Q, P, 8R+R*D] ONE gather
+            ids, norms, vecs = decode_exact_frontier_rows(rows, r, d)
+            dists = l2_distance_to_candidates(
+                queries_f32, vecs, norms, precision=precision
+            )
+            return ids, dists
+
+        distance_fn.frontier_fn = frontier_fn
 
     return distance_fn
 

@@ -167,14 +167,92 @@ def _mips_groundtruth(data, queries, k):
     return ids, dists
 
 
-def sweep_variant(
-    prefix, variant, queries, gt_ids, gt_dists, grid=None, beam=None, extra=None,
-    measure_serving=False,
-):
-    """L-sweep one variant to the recall target; returns the operating point."""
-    from bang_tpu.models.index import device_index_from_files
+def _measure_point(index, search, queries, gt_ids, gt_dists, L, beam, extra,
+                   n_reps=3):
+    """Measure one (L, beam, extra) operating point; returns a result row
+    with per-rep wall times (the round-2 headline regression was
+    undiagnosable because the JSON carried only a single number)."""
     from bang_tpu.utils.config import SearchParams
     from bang_tpu.utils.recall import calculate_recall
+
+    nq = queries.shape[0]
+    params = SearchParams(
+        L=L, k=K, beam_width=beam, extra_iters=extra,
+        traversal_precision="default",
+    )
+    ids, dists, stats = search(index, queries, params)  # compile+warm
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        ids, dists, stats = search(index, queries, params)
+        times.append(time.perf_counter() - t0)
+    recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
+    return {
+        "L": L, "beam": beam, "extra": extra,
+        "recall": round(recall, 2),
+        "qps": round(nq / min(times), 1),
+        "qps_median": round(nq / float(np.median(times)), 1),
+        "rep_s": [round(t, 4) for t in times],
+        "iters": stats.iters,
+    }
+
+
+def _refine_knee(index, search, queries, gt_ids, gt_dists, l_prev, point,
+                 try_beams=(1, 2, 4)):
+    """Find the recall-0.9 frontier around the first passing grid point.
+
+    The reference reports QPS at exactly 0.9 recall (Cost_Analysis.pdf p.2);
+    a first-L-above-target sweep lands wherever the grid happens to fall
+    (99.5% for the exact variant). Refinement: (a) bisect L toward the knee,
+    (b) walk extra_iters down, (c) try other beam widths — keep the fastest
+    point still meeting the target.
+    """
+    best = point
+
+    def probe(L, beam, extra):
+        nonlocal best
+        row = _measure_point(index, search, queries, gt_ids, gt_dists,
+                             L, beam, extra, n_reps=2)
+        log(f"  refine L={L} beam={beam} extra={extra} "
+            f"recall={row['recall']:.2f} qps={row['qps']:,.0f}")
+        if row["recall"] >= TARGET_RECALL and row["qps"] > best["qps"]:
+            best = row
+        return row
+
+    # (a) bisect L between the last failing grid point and the passing one
+    lo, hi = l_prev, best["L"]
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if mid < K:
+            break
+        row = probe(mid, best["beam"], best["extra"])
+        if row["recall"] >= TARGET_RECALL:
+            hi = mid
+        else:
+            lo = mid
+    # (b) cheaper iteration budgets at the best L
+    for extra in range(best["extra"] - 2, -1, -2):
+        row = probe(best["L"], best["beam"], extra)
+        if row["recall"] < TARGET_RECALL:
+            break
+    # (c) other beam widths at the chosen (L, extra)
+    for beam in try_beams:
+        if beam != best["beam"]:
+            probe(best["L"], beam, best["extra"])
+    best["frontier"] = True
+    return best
+
+
+def sweep_variant(
+    prefix, variant, queries, gt_ids, gt_dists, grid=None, beam=None, extra=None,
+    measure_serving=False, refine=True,
+):
+    """L-sweep one variant to the recall target, then refine to the
+    recall-0.9 frontier; returns the operating point. Frees the index's HBM
+    deterministically on exit (multi-variant benches must not leak device
+    memory between sweeps)."""
+    from bang_tpu.models.index import device_index_from_files, free_device_index
+    from bang_tpu.utils.config import SearchParams
 
     nq = queries.shape[0]
     cfg = VARIANT_CONFIGS[variant]
@@ -188,43 +266,55 @@ def sweep_variant(
         from bang_tpu.models.exactdistance import search_exact as search
 
     best = None
+    l_prev = K
     for L in grid:
-        params = SearchParams(
-            L=L, k=K, beam_width=beam, extra_iters=extra,
-            traversal_precision="default",
-        )
-        ids, dists, stats = search(index, queries, params)  # compile+warm
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            ids, dists, stats = search(index, queries, params)
-            times.append(time.perf_counter() - t0)
-        recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
-        qps = nq / min(times)
-        log(f"{os.path.basename(prefix)} {variant} L={L} recall={recall:.2f} "
-            f"qps={qps:,.0f} iters={stats.iters}")
-        best = {"variant": variant, "L": L, "recall": round(recall, 2),
-                "qps": round(qps, 1), "beam": beam, "extra": extra}
-        if recall >= TARGET_RECALL:
+        point = _measure_point(index, search, queries, gt_ids, gt_dists,
+                               L, beam, extra)
+        log(f"{os.path.basename(prefix)} {variant} L={L} "
+            f"recall={point['recall']:.2f} qps={point['qps']:,.0f} "
+            f"iters={point['iters']} rep_s={point['rep_s']}")
+        best = point
+        if point["recall"] >= TARGET_RECALL:
+            if refine:
+                best = _refine_knee(index, search, queries, gt_ids, gt_dists,
+                                    l_prev, point)
             break
+        l_prev = L
+    best["variant"] = variant
 
     if measure_serving:
         params = SearchParams(
-            L=best["L"], k=K, beam_width=beam, extra_iters=extra,
+            L=best["L"], k=K, beam_width=best["beam"], extra_iters=best["extra"],
             traversal_precision="default",
         )
+        from bang_tpu.harness.serving import measure_device_batch_latency
+
         # device time per 128-query batch (slope of an on-device chain; a
         # single small dispatch through the dev tunnel measures ~30-50 ms of
         # RPC latency a real host never sees — see serving.py)
         try:
-            from bang_tpu.harness.serving import measure_device_batch_latency
-
             dev_ms = measure_device_batch_latency(
                 index, np.asarray(queries[:128]), params, variant=variant
             )
             best["batch128_device_ms"] = round(dev_ms, 2)
         except Exception as e:  # pragma: no cover
             log(f"device latency probe failed: {e}")
+        # device time of the FULL headline batch (same chained-slope trick):
+        # lets a future wall-clock swing be attributed to device vs host/
+        # tunnel state from the JSON alone, and feeds the bandwidth figure
+        try:
+            dev_full_ms = measure_device_batch_latency(
+                index, np.asarray(queries), params, variant=variant, n_chain=5
+            )
+            best["device_ms_full_batch"] = round(dev_full_ms, 2)
+            best["device_qps"] = round(nq / (dev_full_ms / 1000.0), 1)
+            gb = _traversal_gather_bytes_per_iter(index, variant, nq, best["beam"])
+            if gb and best.get("iters"):
+                best["hbm_traversal_gbps"] = round(
+                    gb * best["iters"] / (dev_full_ms / 1000.0) / 1e9, 1
+                )
+        except Exception as e:  # pragma: no cover
+            log(f"full-batch device probe failed: {e}")
         # through-the-wire p99 (includes tunnel RPC on this setup)
         try:
             lat = []
@@ -238,9 +328,104 @@ def sweep_variant(
         except Exception as e:  # pragma: no cover
             log(f"p99 measurement failed: {e}")
 
+    free_device_index(index)
     del index
     gc.collect()
     return best
+
+
+def _traversal_gather_bytes_per_iter(index, variant, q, beam):
+    """Lower-bound HBM bytes the traversal loop GATHERS per iteration (frontier
+    fetch + PQ-table streaming; excludes worklist/sort traffic). Divided by
+    measured device time this yields achieved gather bandwidth — comparable
+    against the chip's ~800 GB/s HBM ceiling, making throughput claims
+    falsifiable (the workload is gather-bound, not FLOP-bound)."""
+    try:
+        if variant == "exactdistance":
+            if index.fused_vec_rows is not None:
+                return q * beam * index.fused_vec_rows.shape[1]
+            if index.nbr_vecs is not None:
+                n, r, d = index.nbr_vecs.shape
+                it = index.nbr_vecs.dtype.itemsize
+                return q * beam * (r * d * it + r * 4 + r * 4)  # vecs+norms+adj
+            r = index.adj.shape[1]
+            return q * beam * r * (4 + index.vectors.shape[1] * index.vectors.dtype.itemsize)
+        if variant == "inmemory":
+            m = index.codes.shape[1]
+            tables = q * m * 512  # packed bf16-pair tables stream per lookup
+            if index.fused_rows is not None:
+                return q * beam * index.fused_rows.shape[1] + tables
+            r = index.adj.shape[1]
+            if index.nbr_codes is not None:
+                return q * beam * (index.nbr_codes.shape[1] + r * 4) + tables
+            return q * beam * r * (4 + m) + tables
+    except Exception:  # pragma: no cover
+        return None
+    return None
+
+
+def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
+               beam=2, extra=16, n_pipeline=8):
+    """Base-variant row: host-RAM (mmap) graph + device PQ — the reference's
+    billion-scale configuration and its published headline (bang_search.cu:
+    569-1068; Cost_Analysis.pdf p.2-3). Reports the honest wall QPS (tunnel-
+    bound on this setup), the stage breakdown proving gather/device overlap,
+    and a device-step-derived projection for a real PCIe host."""
+    from bang_tpu.models.base import BaseVariantSearcher
+    from bang_tpu.utils.config import SearchParams
+    from bang_tpu.utils.recall import calculate_recall
+
+    nq = queries_np.shape[0]
+    searcher = BaseVariantSearcher(prefix, n_pipeline_batches=n_pipeline)
+    searcher.timers.enabled = True
+    row = None
+    for L in grid:
+        params = SearchParams(L=L, k=K, beam_width=beam, extra_iters=extra)
+        searcher.search(queries_np[:256], params)  # compile + warm
+        t0 = time.perf_counter()
+        ids, _dists = searcher.search(queries_np, params)
+        wall = time.perf_counter() - t0
+        recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
+        stages = {k_: round(v, 1) for k_, v in searcher.timers.ms.items()}
+        n_steps = searcher.last_n_steps
+        row = {
+            "variant": "base", "L": L, "beam": beam, "extra": extra,
+            "recall": round(recall, 2), "qps_wall": round(nq / wall, 1),
+            "wall_s": round(wall, 2), "n_device_steps": n_steps,
+            "stage_ms": stages,
+            # host gather ran concurrently with device compute iff the parts
+            # sum to more than the whole (see BaseVariantSearcher.search)
+            "overlap_proven": bool(
+                stages.get("host_gather", 0) + stages.get("d2h_parents", 0)
+                + stages.get("dispatch", 0) > stages.get("wall", wall * 1e3)
+            ),
+        }
+        log(f"{os.path.basename(prefix)} base L={L} recall={recall:.2f} "
+            f"qps_wall={row['qps_wall']:,.0f} stages={stages}")
+        if recall >= TARGET_RECALL:
+            break
+    # device-step projection: on a real PCIe host (~10 GB/s, no ~30 ms/RPC
+    # tunnel tax) the pipelined loop costs ~max(host gather, device steps)
+    try:
+        from bang_tpu.harness.serving import measure_base_device_step_ms
+
+        q_sub = max(1, nq // n_pipeline)
+        params = SearchParams(L=row["L"], k=K, beam_width=beam, extra_iters=extra)
+        step_ms = measure_base_device_step_ms(
+            searcher, queries_np[:q_sub], params, n_chain=9
+        )
+        row["device_step_ms"] = round(step_ms, 3)
+        device_total_ms = step_ms * row["n_device_steps"]
+        host_ms = row["stage_ms"].get("host_gather", 0.0)
+        row["device_total_ms"] = round(device_total_ms, 1)
+        row["projected_pcie_qps"] = round(
+            nq / (max(device_total_ms, host_ms) / 1000.0), 1
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"base device-step probe failed: {e}")
+    if searcher.codes is not None:
+        searcher.codes.delete()
+    return row
 
 
 def load_bundle(prefix, nq):
@@ -268,8 +453,13 @@ def main():
         build_bundle(prefix, N, D, R, M, GRAPH, Q, l_build=48, build_batch=4096)
     queries, gt_ids, gt_dists = load_bundle(prefix, Q)
 
+    # exactdistance FIRST: it is the headline candidate, and measuring it on
+    # a fresh HBM pool removes any doubt about allocator residue from other
+    # sweeps (round-2's official number halved unexplained; reproduction
+    # attempts showed clean ~190K both fresh and after an inmemory sweep —
+    # see REGRESSION_r2.md — so the order is belt-and-braces)
     results = {}
-    for variant in ("inmemory", "exactdistance"):
+    for variant in ("exactdistance", "inmemory"):
         results[variant] = sweep_variant(
             prefix, variant, queries, gt_ids, gt_dists, measure_serving=True
         )
@@ -314,6 +504,14 @@ def main():
                         p10, variant, q10, g10i, g10d, grid=grid
                     )
                 result["scale10m"] = rows
+                try:
+                    result["base10m"] = sweep_base(
+                        p10, np.asarray(jax.device_get(q10), np.float32),
+                        g10i, g10d,
+                    )
+                except Exception as e:  # pragma: no cover
+                    log(f"base10m failed: {e}")
+                    result["base10m"] = {"error": str(e)}
                 del q10
                 gc.collect()
             except Exception as e:  # pragma: no cover
@@ -321,6 +519,22 @@ def main():
                 result["scale10m"] = {"error": str(e)}
         else:
             log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
+
+        # ---- 100M base row: the reference's identity configuration ----
+        p100 = prefix_for("synth", 100_000_000, 128, 32, 32, "vamana")
+        if os.path.exists(p100 + "_gt.bin"):
+            try:
+                from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
+
+                q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
+                g100i, g100d = load_truthset(p100 + "_gt.bin")
+                result["base100m"] = sweep_base(
+                    p100, q100, g100i[:Q], g100d[:Q],
+                    grid=(45, 60, 90, 120), beam=2, extra=16,
+                )
+            except Exception as e:  # pragma: no cover
+                log(f"base100m failed: {e}")
+                result["base100m"] = {"error": str(e)}
 
     # ---- breadth rows: high-dim + MIPS ----
     if not FAST:

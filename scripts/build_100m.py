@@ -1,0 +1,116 @@
+"""Build the 100M-point index bundle on one TPU chip (DiskANN-style sharded
+Vamana, formats/bigbuild.py) and write the full on-disk bundle that
+BaseVariantSearcher + bench.py consume.
+
+Configuration: 100M x 128 u8, R=32, m=32 PQ — the Base variant holds only the
+PQ codes in HBM (100M x 32 = 3.2 GB) while the 26 GB packed graph lives in
+host RAM, exactly the reference's billion-scale split (bang_search.cu:311-328
+holds the graph host-side; parANN.h:161-171 is the SIFT100M config family).
+
+Stages (flags let a crashed run resume):
+  graph  — sharded Vamana build -> adj/degrees (saved as .npy checkpoints)
+  data   — materialize host copy of the generated dataset
+  disk   — write _disk.bin + metadata
+  pq     — train + encode + save PQ
+  gtq    — queries + exact int8 ground truth + save
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bang_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+import jax
+
+from bang_tpu.formats import bigbuild
+from bang_tpu.formats.bin_io import save_bin, save_truthset
+from bang_tpu.formats.graph import GraphIndex, save_graph_index
+from bang_tpu.formats.pq import save_pq, PQData
+from bang_tpu.formats import synthetic
+
+N = int(os.environ.get("B100_N", 100_000_000))
+D = 128
+R = int(os.environ.get("B100_R", 32))
+M = int(os.environ.get("B100_M", 32))
+NQ = 10_000
+N_SHARDS = int(os.environ.get("B100_SHARDS", 6))
+L_BUILD = int(os.environ.get("B100_LBUILD", 32))
+BATCH = int(os.environ.get("B100_BATCH", 8192))
+CACHE = "/root/repo/bench_data"
+PREFIX = os.path.join(CACHE, f"synthg_v1_n{N}_d{D}_r{R}_m{M}_shardvamana")
+CKPT = PREFIX + "_ckpt"
+os.makedirs(CKPT, exist_ok=True)
+
+t0 = time.time()
+
+
+def log(msg):
+    print(f"[100m] {msg} t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+
+gen = bigbuild.BlockGen(N, D, block=1 << 20, n_clusters=4096, seed=11)
+
+# ---- stage: graph ----
+adj_path, deg_path = CKPT + "/adj.npy", CKPT + "/deg.npy"
+if not os.path.exists(adj_path):
+    log(f"sharded build: N={N} R={R} shards={N_SHARDS} l_build={L_BUILD}")
+    adj, degrees, _assign = bigbuild.build_sharded_vamana(
+        gen, r=R, l_build=L_BUILD, n_shards=N_SHARDS, overlap=2,
+        batch=BATCH, n_passes=1, seed=11,
+    )
+    np.save(adj_path, adj)
+    np.save(deg_path, degrees)
+    log("graph checkpointed")
+else:
+    adj = np.load(adj_path)
+    degrees = np.load(deg_path)
+    log("graph loaded from checkpoint")
+
+# ---- stage: medoid ----
+med_path = CKPT + "/medoid.npy"
+if not os.path.exists(med_path):
+    medoid = bigbuild.medoid_streamed(gen)
+    np.save(med_path, medoid)
+    log(f"medoid = {medoid}")
+else:
+    medoid = int(np.load(med_path))
+
+# ---- stage: queries + GT (device-resident data; before host materialize) ----
+if not os.path.exists(PREFIX + "_gt.bin"):
+    rng = np.random.default_rng(77)
+    qblock = 7
+    base = np.asarray(jax.device_get(gen.gen_block(qblock)))[:NQ].astype(np.float32)
+    queries = np.clip(
+        np.rint(base + rng.normal(0, 2.0, base.shape)), 0, 255
+    ).astype(np.uint8)
+    log("computing exact int8 ground truth (chunked MXU)")
+    gt_ids, gt_dists = bigbuild.groundtruth_u8_streamed(gen, queries, 100)
+    save_bin(PREFIX + "_query.bin", queries)
+    save_truthset(PREFIX + "_gt.bin", gt_ids, gt_dists)
+    log("ground truth saved")
+
+# ---- stage: pq ----
+if not os.path.exists(PREFIX + "_pq_compressed.bin"):
+    log("training PQ on a device-generated sample")
+    sample = np.asarray(jax.device_get(gen.gen_block(3)))[: 1 << 19]
+    pq = synthetic.train_pq(sample, M, seed=11)
+    log("encoding 100M codes on device")
+    pq.codes = bigbuild.encode_pq_streamed(gen, pq)
+    save_pq(PREFIX, pq)
+    log("PQ saved")
+
+# ---- stage: disk (host materialize + packed records) ----
+if not os.path.exists(PREFIX + "_disk.bin"):
+    log("materializing host dataset copy (D2H)")
+    data = bigbuild.materialize_host(gen, log=log)
+    log("writing _disk.bin (26 GB)")
+    save_graph_index(PREFIX, GraphIndex(data, adj, degrees, medoid))
+    log("disk bundle written")
+
+log(f"DONE: {PREFIX}")
+print(PREFIX)

@@ -26,6 +26,14 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("BANG_FORCE_CPU"):
+    # hermetic/offline runs (tests): the axon TPU plugin ignores the
+    # JAX_PLATFORMS env var, so force CPU through the config API before any
+    # backend touch
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 DATASETS = {
     "siftsmall": {  # 10K points — the reference's smoke-test scale (ReadMe.pdf p.3)
         "url": "ftp://ftp.irisa.fr/local/texmex/corpus/siftsmall.tar.gz",

@@ -72,6 +72,57 @@ def test_exact_search_k1(loaded):
     assert hit >= 0.95
 
 
+def test_fused_exact_frontier_pack_decode():
+    """Pack/decode round-trip of the fused exact-frontier rows, with ids
+    above 2^16 so every byte plane is exercised (a 32-wide Mosaic lane slice
+    once silently dropped plane 2 — see pq_pallas.pack_frontier_rows; this
+    layout is decoded in plain XLA but the data-coverage lesson stands)."""
+    import jax.numpy as jnp
+
+    from bang_tpu.ops.l2 import decode_exact_frontier_rows, pack_exact_frontier_rows
+
+    rng = np.random.default_rng(7)
+    n, r, d = 70_000, 8, 16
+    vectors = rng.integers(0, 256, (n, d), dtype=np.uint8)
+    adj = rng.integers(0, n, (n, r)).astype(np.int32)
+    norms = (vectors.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+
+    rows = pack_exact_frontier_rows(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(norms), n_blocks=4
+    )
+    assert rows.shape == (n, 8 * r + r * d)
+    parents = jnp.asarray(rng.integers(0, n, (32, 2)).astype(np.int32))
+    ids, dn, vecs = decode_exact_frontier_rows(rows[parents], r, d)
+    p = np.asarray(parents)
+    want_ids = adj[p].reshape(32, 2 * r)
+    assert want_ids.max() > 1 << 16  # byte-plane-2 coverage
+    np.testing.assert_array_equal(np.asarray(ids), want_ids)
+    np.testing.assert_array_equal(np.asarray(dn), norms[want_ids])
+    np.testing.assert_array_equal(
+        np.asarray(vecs), vectors[want_ids.reshape(32, 2 * r)]
+    )
+
+
+def test_fused_exact_frontier_matches(tiny_uint8_index):
+    """Fused exact-frontier rows (opt-in; a measured perf dead end on v5e,
+    see models/index.py note) traverse identically to the scattered path."""
+    from bang_tpu.formats.graph import load_graph_index
+    from bang_tpu.models.index import build_device_index
+
+    prefix = tiny_uint8_index["prefix"]
+    queries = load_bin(prefix + "_query.bin", np.uint8).astype(np.float32)[:64]
+    params = SearchParams(L=48, k=10, beam_width=2)
+    graph = load_graph_index(prefix)
+    idx_fused = build_device_index(graph=graph, fused_exact_frontier=True)
+    assert idx_fused.fused_vec_rows is not None
+    idx_plain = device_index_from_files(prefix, "exactdistance", neighbor_vectors=False)
+    assert idx_plain.fused_vec_rows is None
+    ids_a, d_a, _ = search_exact(idx_fused, queries, params)
+    ids_b, d_b, _ = search_exact(idx_plain, queries, params)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-5)
+
+
 def test_neighbor_vectors_layout_matches(tiny_index):
     """nbr_vecs (gather-efficient layout) gives identical exact results."""
     from bang_tpu.models.index import device_index_from_files
