@@ -215,61 +215,69 @@ def merge_shard_adj(parts: list[np.ndarray], r: int, n: int,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _gt_block_u8(q_u8, chunks_u8, chunk_norms, k):
-    """Exact top-k of u8 queries against chunked u8 vectors via int8 matmul.
+def _gt_block_u8(q_u8, chunks_i8, chunk_pstat, k):
+    """Exact top-k of u8 queries against chunked PRE-SHIFTED i8 vectors.
 
-    q.v with q = a+128, v = b+128 (a, b int8) = a.b + 128*(sum a + sum b)
-    + 128^2*D — a.b runs as s8 x s8 -> s32 on the MXU, bit-exact. Distances
-    (<= D*255^2 = 8.3M at D=128) are exactly representable in f32 for the
-    top-k merge.
+    With q = a+128, v = b+128 (a, b int8): the cross term a.b runs as
+    s8 x s8 -> s32 on the MXU, bit-exact. The full squared distance
+    regroups into dist = qstat[q] + pstat[v] - 2*a.b where
+      qstat = ||q||^2 - 256*sum(a) - 32768*D   (per query, i32 exact)
+      pstat = ||v||^2 - 256*sum(b)             (per point, precomputed)
+    Distances (<= D*255^2 = 8.3M at D=128) are exactly representable in the
+    f32 used for the top-k merge. Chunks are stored ALREADY shifted (i8 =
+    u8 XOR 0x80 bit pattern) so no per-step copy of the table is made.
     """
     b_q, d = q_u8.shape
     a = (q_u8.astype(jnp.int32) - 128).astype(jnp.int8)
-    sum_a = a.astype(jnp.int32).sum(-1)  # [B]
-    q_norm = (q_u8.astype(jnp.int32) ** 2).sum(-1)  # [B]
+    qstat = (
+        (q_u8.astype(jnp.int32) ** 2).sum(-1)
+        - 256 * a.astype(jnp.int32).sum(-1)
+        - 32768 * d
+    )  # [B]
 
     def body(ci, carry):
         best_d, best_i = carry
-        v = chunks_u8[ci]
-        b = (v.astype(jnp.int32) - 128).astype(jnp.int8)
+        b = chunks_i8[ci]  # [nc, D] i8, pre-shifted
         ab = jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [B, nc] s32, exact
-        sum_b = (v.astype(jnp.int32) - 128).sum(-1)  # [nc]
-        qv = ab + 128 * (sum_a[:, None] + sum_b[None, :]) + 128 * 128 * d
-        dist = (q_norm[:, None] + chunk_norms[ci][None, :] - 2 * qv).astype(jnp.float32)
+        dist = (qstat[:, None] + chunk_pstat[ci][None, :] - 2 * ab).astype(
+            jnp.float32
+        )
         neg, idx = jax.lax.top_k(-dist, k)
-        nc = v.shape[0]
+        nc = b.shape[0]
         cat_d = jnp.concatenate([best_d, -neg], axis=1)
         cat_i = jnp.concatenate([best_i, idx + ci * nc], axis=1)
         nneg, sel = jax.lax.top_k(-cat_d, k)
         return -nneg, jnp.take_along_axis(cat_i, sel, axis=1)
 
     init = (jnp.full((b_q, k), jnp.inf, jnp.float32), jnp.zeros((b_q, k), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, chunks_u8.shape[0], body, init)
+    best_d, best_i = jax.lax.fori_loop(0, chunks_i8.shape[0], body, init)
     return best_i, best_d
 
 
 def groundtruth_u8_streamed(gen: BlockGen, queries_u8: np.ndarray, k: int,
-                            q_block: int = 1024):
+                            q_block: int = 128):
     """Exact GT against the full generated dataset (regenerated into an HBM
     chunk table; int8-exact distances). Returns (ids u32, dists f32)."""
     nb, blk, d = gen.n_blocks, gen.block, gen.dim
-    chunks = jnp.zeros((nb, blk, d), jnp.uint8)
-    norms = jnp.zeros((nb, blk), jnp.int32)
+    chunks = jnp.zeros((nb, blk, d), jnp.int8)
+    pstat = jnp.zeros((nb, blk), jnp.int32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill(chunks, norms, x, ci, n_valid):
-        xn = (x.astype(jnp.int32) ** 2).sum(-1)
-        # padding rows (beyond n) get +inf-like norms so they never rank
+    def fill(chunks, pstat, x, ci, n_valid):
+        xi = x.astype(jnp.int32)
+        ps = (xi ** 2).sum(-1) - 256 * (xi - 128).sum(-1)
+        # padding rows (beyond n) get huge pstat so they never rank
         row = jax.lax.broadcasted_iota(jnp.int32, (blk,), 0)
-        xn = jnp.where(row < n_valid, xn, jnp.int32(2_000_000_000))
-        return chunks.at[ci].set(x), norms.at[ci].set(xn)
+        ps = jnp.where(row < n_valid, ps, jnp.int32(2_000_000_000))
+        shifted = (xi - 128).astype(jnp.int8)
+        return chunks.at[ci].set(shifted), pstat.at[ci].set(ps)
 
     for b in range(nb):
         n_valid = min(gen.n - b * blk, blk)
-        chunks, norms = fill(chunks, norms, gen.gen_block(b), b, n_valid)
+        chunks, pstat = fill(chunks, pstat, gen.gen_block(b), b, n_valid)
 
     nq = queries_u8.shape[0]
     ids = np.empty((nq, k), np.uint32)
@@ -279,11 +287,11 @@ def groundtruth_u8_streamed(gen: BlockGen, queries_u8: np.ndarray, k: int,
         nbq = q.shape[0]
         if nbq < q_block:
             q = np.pad(q, ((0, q_block - nbq), (0, 0)))
-        i, dd = _gt_block_u8(jnp.asarray(q), chunks, norms, k)
+        i, dd = _gt_block_u8(jnp.asarray(q), chunks, pstat, k)
         ids[s : s + q_block] = np.asarray(i[:nbq]).astype(np.uint32)
         dists[s : s + q_block] = np.asarray(dd[:nbq])
     chunks.delete()
-    norms.delete()
+    pstat.delete()
     return ids, dists
 
 

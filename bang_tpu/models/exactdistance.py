@@ -69,5 +69,7 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         beam=params.beam_width,
         fused_vec_rows=index.fused_vec_rows,
     )
-    iters, n_exp, n_dc = jax.device_get((iters, n_exp, n_dc))
-    return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))
+    # stats stay device-side; SearchStats fetches lazily (one round trip on
+    # first access) so back-to-back searches pipeline through the dispatch
+    # queue instead of serializing on a scalar readback
+    return ids, dists, SearchStats(iters, n_exp, n_dc)

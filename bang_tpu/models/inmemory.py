@@ -86,7 +86,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         beam=params.beam_width,
         fused_rows=index.fused_rows,
     )
-    # ONE host round trip for the scalars (each int() would be a separate
-    # blocking device->host read — ~30 ms each through the axon tunnel)
-    iters, n_exp, n_dc = jax.device_get((iters, n_exp, n_dc))
-    return ids, dists, SearchStats(int(iters), int(n_exp), int(n_dc))
+    # stats stay device-side; SearchStats fetches lazily (one round trip on
+    # first access) so back-to-back searches pipeline through the dispatch
+    # queue instead of serializing on a scalar readback
+    return ids, dists, SearchStats(iters, n_exp, n_dc)

@@ -48,13 +48,54 @@ class TraversalState(NamedTuple):
     # (the Exactdistance reference reports this counter: parANN.cu:495-502)
 
 
-class SearchStats(NamedTuple):
-    """Host-side search statistics (reference: iteration prints + the
-    Exactdistance distance-computation counter, parANN.cu:971-972)."""
+class SearchStats:
+    """Search statistics (reference: iteration prints + the Exactdistance
+    distance-computation counter, parANN.cu:971-972).
 
-    iters: int
-    n_expanded: int
-    n_dist_comps: int
+    Counters are held as DEVICE scalars and fetched lazily on first attribute
+    access: a blocking scalar readback costs a full host-link round trip
+    (~15-35 ms through a dev tunnel), so eagerly fetching inside `search()`
+    would serialize back-to-back searches and add a constant tax to every
+    timed call. `sync()` forces the fetch (timing code calls it to mark
+    end-to-end completion)."""
+
+    __slots__ = ("_iters", "_n_expanded", "_n_dist_comps", "_fetched")
+
+    def __init__(self, iters, n_expanded, n_dist_comps):
+        self._iters = iters
+        self._n_expanded = n_expanded
+        self._n_dist_comps = n_dist_comps
+        self._fetched = isinstance(iters, int)
+
+    def sync(self) -> "SearchStats":
+        if not self._fetched:
+            i, ne, nd = jax.device_get(
+                (self._iters, self._n_expanded, self._n_dist_comps)
+            )  # ONE round trip for all three scalars
+            self._iters, self._n_expanded, self._n_dist_comps = (
+                int(i), int(ne), int(nd),
+            )
+            self._fetched = True
+        return self
+
+    @property
+    def iters(self) -> int:
+        return self.sync()._iters
+
+    @property
+    def n_expanded(self) -> int:
+        return self.sync()._n_expanded
+
+    @property
+    def n_dist_comps(self) -> int:
+        return self.sync()._n_dist_comps
+
+    def __repr__(self):
+        if self._fetched:
+            return (f"SearchStats(iters={self._iters}, "
+                    f"n_expanded={self._n_expanded}, "
+                    f"n_dist_comps={self._n_dist_comps})")
+        return "SearchStats(<device, unsynced>)"
 
 
 def init_state(

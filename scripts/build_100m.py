@@ -53,7 +53,9 @@ def log(msg):
     print(f"[100m] {msg} t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
 
-gen = bigbuild.BlockGen(N, D, block=1 << 20, n_clusters=4096, seed=11)
+# block = 512K keeps GT-time peak HBM in range: chunk table 12.9 GB (i8)
+# + pstat 0.4 GB + per-step [q_block, block] i32/f32 transients
+gen = bigbuild.BlockGen(N, D, block=1 << 19, n_clusters=4096, seed=11)
 
 # ---- stage: graph ----
 adj_path, deg_path = CKPT + "/adj.npy", CKPT + "/deg.npy"
