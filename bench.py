@@ -531,15 +531,16 @@ def main():
                     )
                 q10, g10i, g10d = load_bundle(p10, Q)
                 rows = {}
-                for variant, grid in (
-                    ("inmemory", (12, 14, 16, 20, 30, 40, 60, 90, 130)),
-                    ("exactdistance", (10, 12, 16, 20, 30, 45, 70)),
+                for variant, grid, refine in (
+                    # inmemory (the layout that scales) gets the frontier
+                    # refinement — its knee tuning is worth the extra 10M-
+                    # shape compiles; exact reaches 99%+ at the first grid
+                    # point, where refinement buys little
+                    ("inmemory", (12, 14, 16, 20, 30, 40, 60, 90, 130), True),
+                    ("exactdistance", (10, 12, 16, 20, 30, 45, 70), False),
                 ):
-                    # refine=False: each refinement probe is a fresh compile
-                    # at 10M shapes (~1 min each through the tunnel); the
-                    # frontier requirement applies to the headline dataset
                     rows[variant] = sweep_variant(
-                        p10, variant, q10, g10i, g10d, grid=grid, refine=False
+                        p10, variant, q10, g10i, g10d, grid=grid, refine=refine
                     )
                 result["scale10m"] = rows
                 try:

@@ -62,3 +62,19 @@ def test_timers():
     with off.stage("y"):
         pass
     assert "y" not in off.ms
+
+
+def test_search_stats_lazy_sync():
+    """SearchStats defers the device fetch and caches after one sync."""
+    import jax.numpy as jnp
+
+    from bang_tpu.models.traversal import SearchStats
+
+    st = SearchStats(jnp.int32(7), jnp.int32(21), jnp.int32(140))
+    assert "unsynced" in repr(st)
+    assert st.iters == 7  # first access fetches all three in one trip
+    assert "unsynced" not in repr(st)
+    assert st.n_expanded == 21 and st.n_dist_comps == 140
+    # int-constructed stats are considered already fetched
+    st2 = SearchStats(3, 4, 5)
+    assert st2.iters == 3 and st2.n_dist_comps == 5
