@@ -99,32 +99,48 @@ class GraphIndex:
         )
 
 
-def save_graph_index(prefix: str | os.PathLike, index: GraphIndex) -> None:
-    """Write `<prefix>_disk.bin` + `<prefix>_disk_metadata.bin`."""
+def save_graph_index(
+    prefix: str | os.PathLike, index: GraphIndex, block: int = 4_000_000
+) -> None:
+    """Write `<prefix>_disk.bin` + `<prefix>_disk_metadata.bin`.
+
+    Streams in `block`-row chunks: a monolithic writer peaks at ~8x the
+    adjacency bytes in temporaries (argsort indices are int64), which at
+    100M x R=32 would approach the host's whole RAM."""
     prefix = str(prefix)
     meta = index.metadata()
     n, dim, r = index.n, index.dim, index.r
-    vec_bytes = np.ascontiguousarray(index.vectors).view(np.uint8).reshape(n, -1)
-
-    # Neighbor block: sorted valid entries first, zero padding after.
-    degrees = index.degrees.astype(np.int64)
-    order = np.argsort(
-        np.where(np.arange(r)[None, :] < degrees[:, None], index.adj, np.iinfo(np.int32).max),
-        axis=1,
-        kind="stable",
-    )
-    sorted_adj = np.take_along_axis(index.adj, order, axis=1).astype("<u4")
-    pad_mask = np.arange(r)[None, :] >= degrees[:, None]
-    sorted_adj[pad_mask] = 0
-
-    records = np.empty((n, meta.entry_len), dtype=np.uint8)
-    records[:, : vec_bytes.shape[1]] = vec_bytes
-    off = vec_bytes.shape[1]
-    records[:, off : off + 4] = degrees.astype("<u4")[:, None].view(np.uint8).reshape(n, 4)
-    records[:, off + 4 :] = sorted_adj.view(np.uint8).reshape(n, 4 * r)
 
     with open(prefix + GRAPH_INDEX_FILE_SUFFIX, "wb") as f:
-        records.tofile(f)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            nb = e - s
+            vec_bytes = (
+                np.ascontiguousarray(index.vectors[s:e]).view(np.uint8).reshape(nb, -1)
+            )
+            # Neighbor block: sorted valid entries first, zero padding after.
+            degrees = index.degrees[s:e].astype(np.int64)
+            adj = index.adj[s:e]
+            order = np.argsort(
+                np.where(
+                    np.arange(r)[None, :] < degrees[:, None], adj,
+                    np.iinfo(np.int32).max,
+                ),
+                axis=1,
+                kind="stable",
+            )
+            sorted_adj = np.take_along_axis(adj, order, axis=1).astype("<u4")
+            pad_mask = np.arange(r)[None, :] >= degrees[:, None]
+            sorted_adj[pad_mask] = 0
+
+            records = np.empty((nb, meta.entry_len), dtype=np.uint8)
+            records[:, : vec_bytes.shape[1]] = vec_bytes
+            off = vec_bytes.shape[1]
+            records[:, off : off + 4] = (
+                degrees.astype("<u4")[:, None].view(np.uint8).reshape(nb, 4)
+            )
+            records[:, off + 4 :] = sorted_adj.view(np.uint8).reshape(nb, 4 * r)
+            records.tofile(f)
     save_metadata(prefix + GRAPH_METADATA_FILE_SUFFIX, meta)
 
 

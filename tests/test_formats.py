@@ -65,6 +65,12 @@ def test_graph_roundtrip(tmp_path, dtype, code):
     index = GraphIndex(vectors=vecs, adj=adj, degrees=degrees, medoid=7)
     save_graph_index(prefix, index)
 
+    # the streamed writer must produce identical bytes regardless of block
+    prefix_b = str(tmp_path / "g_blocked")
+    save_graph_index(prefix_b, index, block=7)  # 50 rows -> 8 partial blocks
+    with open(prefix + "_disk.bin", "rb") as a, open(prefix_b + "_disk.bin", "rb") as b:
+        assert a.read() == b.read()
+
     meta = load_metadata(prefix + "_disk_metadata.bin")
     assert meta.n == n and meta.dim == d and meta.degree == r
     assert meta.medoid == 7 and meta.dtype_code == code
