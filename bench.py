@@ -36,6 +36,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("BANG_FORCE_CPU"):
+    # hermetic validation runs: the axon TPU plugin ignores JAX_PLATFORMS,
+    # force CPU through the config API before any backend touch
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 BASELINE_QPS = 117_647.0  # reference: SIFT1B on 1x A100-80GB @ 0.9 recall@10
 BASELINE_NOTE = (
     "ratio = this machine's steady-state QPS (6 batches in flight, wall "
@@ -312,6 +319,7 @@ def sweep_variant(
         best["extra"], n_reps=5, measure_pipelined=True,
     )
     final["frontier"] = best.get("frontier", False)
+    final["variant"] = variant
     best = final
 
     if measure_serving:
@@ -507,6 +515,7 @@ def main():
         "baseline_note": BASELINE_NOTE,
         "recall": best["recall"],
         "variant": best["variant"],
+        "frontier": best.get("frontier", False),
         "qps_single_shot": best["qps"],
         "device_qps": best.get("device_qps"),
         "L": best["L"],
@@ -569,7 +578,7 @@ def main():
                 g100i, g100d = load_truthset(p100 + "_gt.bin")
                 result["base100m"] = sweep_base(
                     p100, q100, g100i[:Q], g100d[:Q],
-                    grid=(45, 60, 90, 120), beam=2, extra=16,
+                    grid=(45, 60, 90, 130, 180), beam=2, extra=16,
                 )
             except Exception as e:  # pragma: no cover
                 log(f"base100m failed: {e}")
