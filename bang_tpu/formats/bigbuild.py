@@ -25,6 +25,7 @@ HIGHEST einsum would take hours at 100M and bf16 would mis-rank ties).
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -295,6 +296,23 @@ def groundtruth_u8_streamed(gen: BlockGen, queries_u8: np.ndarray, k: int,
     return ids, dists
 
 
+def d2h_chunked(arr, chunk_bytes: int = 1 << 28, log=None) -> np.ndarray:
+    """device_get in row chunks (~256 MB). A single multi-GB device_get has
+    been observed to HANG indefinitely through the axon tunnel (round 3: a
+    4.3 GB adjacency fetch sat at 0% CPU for 50+ min while 200 MB probes ran
+    at ~20 MB/s); smaller fetches with visible progress are also abortable."""
+    n = arr.shape[0]
+    row_bytes = max(1, int(np.prod(arr.shape[1:])) * arr.dtype.itemsize)
+    rows = max(1, chunk_bytes // row_bytes)
+    out = np.empty(arr.shape, arr.dtype)
+    for s in range(0, n, rows):
+        e = min(s + rows, n)
+        out[s:e] = np.asarray(jax.device_get(arr[s:e]))
+        if log:
+            log(f"d2h {e}/{n} rows")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Streamed helpers: medoid, PQ encoding, host materialization
 # ---------------------------------------------------------------------------
@@ -387,6 +405,7 @@ def build_sharded_vamana(
     kmeans_sample: int = 1 << 21,
     seed: int = 0,
     verbose: bool = True,
+    ckpt_dir: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """DiskANN-style sharded build over a generated dataset.
 
@@ -417,15 +436,26 @@ def build_sharded_vamana(
         in_shard = (assignment == s).any(axis=1)
         member_ids = np.nonzero(in_shard)[0]
         n_s = len(member_ids)
-        log(f"shard {s}: {n_s} members; assembling vectors on device")
-        shard_vecs = gather_shard_vectors(gen, assign_dev, s, n_s)
-        adj_l, _deg_l, _med = build_vamana_graph(
-            shard_vecs, r=r, l_build=l_build, alpha=alpha, batch=batch,
-            seed=seed + 10 + s, n_passes=n_passes, verbose=verbose,
-            medoid=int(n_s // 2),
-        )
-        shard_vecs.delete()
-        log(f"shard {s}: graph built; mapping to global ids")
+        ck = f"{ckpt_dir}/shard{s}_adj.npy" if ckpt_dir else None
+        if ck is not None and os.path.exists(ck):
+            adj_l = np.load(ck)
+            log(f"shard {s}: {n_s} members; loaded from checkpoint")
+        else:
+            log(f"shard {s}: {n_s} members; assembling vectors on device")
+            shard_vecs = gather_shard_vectors(gen, assign_dev, s, n_s)
+            adj_dev, deg_dev, _med = build_vamana_graph(
+                shard_vecs, r=r, l_build=l_build, alpha=alpha, batch=batch,
+                seed=seed + 10 + s, n_passes=n_passes, verbose=verbose,
+                medoid=int(n_s // 2), return_device=True,
+            )
+            shard_vecs.delete()
+            log(f"shard {s}: graph built; downloading adjacency (chunked)")
+            adj_l = d2h_chunked(adj_dev, log=log if verbose else None)
+            adj_dev.delete()
+            deg_dev.delete()
+            if ck is not None:
+                np.save(ck, adj_l)
+        log(f"shard {s}: mapping to global ids")
         gids = member_ids.astype(np.int32)
         adj_g = gids[adj_l]  # local -> global (self-padding maps to self)
         # each point stores this shard's rows in its next free overlap slot

@@ -40,7 +40,7 @@ M = int(os.environ.get("B100_M", 32))
 NQ = 10_000
 N_SHARDS = int(os.environ.get("B100_SHARDS", 6))
 L_BUILD = int(os.environ.get("B100_LBUILD", 32))
-BATCH = int(os.environ.get("B100_BATCH", 8192))
+BATCH = int(os.environ.get("B100_BATCH", 16384))
 CACHE = "/root/repo/bench_data"
 PREFIX = os.path.join(CACHE, f"synthg_v1_n{N}_d{D}_r{R}_m{M}_shardvamana")
 CKPT = PREFIX + "_ckpt"
@@ -63,7 +63,7 @@ if not os.path.exists(adj_path):
     log(f"sharded build: N={N} R={R} shards={N_SHARDS} l_build={L_BUILD}")
     adj, degrees, _assign = bigbuild.build_sharded_vamana(
         gen, r=R, l_build=L_BUILD, n_shards=N_SHARDS, overlap=2,
-        batch=BATCH, n_passes=1, seed=11,
+        batch=BATCH, n_passes=1, seed=11, ckpt_dir=CKPT,
     )
     np.save(adj_path, adj)
     np.save(deg_path, degrees)
