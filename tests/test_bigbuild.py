@@ -96,3 +96,10 @@ def test_sharded_build_end_to_end(gen):
     ids, _, _ = search_exact(index, queries, SearchParams(L=48, k=10))
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 80.0, f"sharded-merge graph recall@10: {recall}"
+
+
+def test_d2h_chunked_matches_device_get():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 1 << 30, (1000, 7)).astype(np.int32))
+    out = bigbuild.d2h_chunked(x, chunk_bytes=256)  # many partial chunks
+    np.testing.assert_array_equal(out, np.asarray(jax.device_get(x)))
