@@ -569,7 +569,10 @@ def main():
             log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
 
         # ---- 100M base row: the reference's identity configuration ----
-        p100 = prefix_for("synth", 100_000_000, 128, 32, 32, "vamana")
+        # bundle produced by scripts/build_100m.py (sharded builder)
+        p100 = os.path.join(
+            CACHE, "synthg_v1_n100000000_d128_r32_m32_shardvamana"
+        )
         if os.path.exists(p100 + "_gt.bin"):
             try:
                 from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
