@@ -487,6 +487,18 @@ def main():
     enable_persistent_cache()
     import jax
 
+    # Wall-clock budget: secondary sections are skipped once exceeded so the
+    # final JSON line ALWAYS prints (a run killed mid-sweep reports nothing).
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET", 6000))
+
+    def over_budget(section):
+        if time.time() - t_start > budget_s:
+            log(f"{section} skipped: over time budget "
+                f"({time.time() - t_start:.0f}s > {budget_s:.0f}s)")
+            return True
+        return False
+
     # ---- headline: 1M SIFT-like ----
     prefix = prefix_for("synth", N, D, R, M, GRAPH)
     if not os.path.exists(prefix + "_gt.bin"):
@@ -529,7 +541,7 @@ def main():
     }
 
     # ---- scale row: 10M, scattered layouts ----
-    if not FAST:
+    if not FAST and not over_budget("scale10m"):
         p10 = prefix_for("synth", 10_000_000, 128, 64, 64, "vamana")
         if os.path.exists(p10 + "_gt.bin") or BUILD_10M:
             try:
@@ -553,6 +565,8 @@ def main():
                     )
                 result["scale10m"] = rows
                 try:
+                    if over_budget("base10m"):
+                        raise RuntimeError("time budget")
                     result["base10m"] = sweep_base(
                         p10, np.asarray(jax.device_get(q10), np.float32),
                         g10i, g10d,
@@ -573,7 +587,9 @@ def main():
         p100 = os.path.join(
             CACHE, "synthg_v1_n100000000_d128_r32_m32_shardvamana"
         )
-        if os.path.exists(p100 + "_gt.bin"):
+        if os.path.exists(p100 + "_gt.bin") and os.path.exists(
+            p100 + "_disk.bin"
+        ) and not over_budget("base100m"):
             try:
                 from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
 
@@ -588,7 +604,7 @@ def main():
                 result["base100m"] = {"error": str(e)}
 
     # ---- breadth rows: high-dim + MIPS ----
-    if not FAST:
+    if not FAST and not over_budget("breadth"):
         try:
             pg = prefix_for("gist960", 100_000, 960, 32, 120, "pruned")
             if not os.path.exists(pg + "_gt.bin"):
