@@ -582,27 +582,6 @@ def main():
         else:
             log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
 
-        # ---- 100M base row: the reference's identity configuration ----
-        # bundle produced by scripts/build_100m.py (sharded builder)
-        p100 = os.path.join(
-            CACHE, "synthg_v1_n100000000_d128_r32_m32_shardvamana"
-        )
-        if os.path.exists(p100 + "_gt.bin") and os.path.exists(
-            p100 + "_disk.bin"
-        ) and not over_budget("base100m"):
-            try:
-                from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
-
-                q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
-                g100i, g100d = load_truthset(p100 + "_gt.bin")
-                result["base100m"] = sweep_base(
-                    p100, q100, g100i[:Q], g100d[:Q],
-                    grid=(45, 60, 90, 130, 180), beam=2, extra=16,
-                )
-            except Exception as e:  # pragma: no cover
-                log(f"base100m failed: {e}")
-                result["base100m"] = {"error": str(e)}
-
     # ---- breadth rows: high-dim + MIPS ----
     if not FAST and not over_budget("breadth"):
         try:
@@ -630,6 +609,29 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"glove200_mips failed: {e}")
             result["glove200_mips"] = {"error": str(e)}
+
+    # ---- 100M base row: the reference's identity configuration ----
+    # (longest section: runs last so cheaper rows are never starved by it;
+    # bundle produced by scripts/build_100m.py, the sharded builder)
+    p100 = os.path.join(
+        CACHE, "synthg_v1_n100000000_d128_r32_m32_shardvamana"
+    )
+    if not FAST and os.path.exists(p100 + "_gt.bin") and os.path.exists(
+        p100 + "_disk.bin"
+    ) and not over_budget("base100m"):
+        try:
+            from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
+
+            q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
+            g100i, g100d = load_truthset(p100 + "_gt.bin")
+            result["base100m"] = sweep_base(
+                p100, q100, g100i[:Q], g100d[:Q],
+                grid=(45, 60, 90, 130, 180), beam=2, extra=16,
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"base100m failed: {e}")
+            result["base100m"] = {"error": str(e)}
+
 
     print(json.dumps(result))
 
