@@ -275,7 +275,7 @@ def _refine_knee(index, search, queries, gt_ids, gt_dists, l_prev, point,
 
 def sweep_variant(
     prefix, variant, queries, gt_ids, gt_dists, grid=None, beam=None, extra=None,
-    measure_serving=False, refine=True,
+    measure_serving=False, refine=True, index_kwargs=None,
 ):
     """L-sweep one variant to the recall target, then refine to the
     recall-0.9 frontier; returns the operating point. Frees the index's HBM
@@ -289,7 +289,7 @@ def sweep_variant(
     grid = grid or cfg["grid"]
     beam = cfg["beam"] if beam is None else beam
     extra = cfg["extra"] if extra is None else extra
-    index = device_index_from_files(prefix, variant=variant)
+    index = device_index_from_files(prefix, variant=variant, **(index_kwargs or {}))
     if variant == "inmemory":
         from bang_tpu.models.inmemory import search_inmemory as search
     else:
@@ -564,6 +564,24 @@ def main():
                         p10, variant, q10, g10i, g10d, grid=grid, refine=refine
                     )
                 result["scale10m"] = rows
+                # tuned 10M point: R=32 graph + m=32 PQ so the neighbor-
+                # aligned nbr_codes layout (10 GB) fits one chip's HBM — the
+                # scattered path above is row-count bound (~12 ns per tiny
+                # code-row gather; see PROGRESS.md round 3). Same RAM-budget
+                # tradeoff as DiskANN's -B chunk selection (README.md:49).
+                # Bundle built by scripts/build_10m_tuned.py (reuses the
+                # source bundle's vectors + queries + ground truth).
+                pt = prefix_for("synth", 10_000_000, 128, 32, 32, "vamana")
+                if os.path.exists(pt + "_gt.bin"):
+                    try:
+                        result["scale10m_tuned"] = sweep_variant(
+                            pt, "inmemory", q10, g10i, g10d,
+                            grid=(14, 16, 20, 25, 30, 40, 60, 90),
+                            index_kwargs={"neighbor_codes": True},
+                        )
+                    except Exception as e:  # pragma: no cover
+                        log(f"scale10m_tuned failed: {e}")
+                        result["scale10m_tuned"] = {"error": str(e)}
                 try:
                     if over_budget("base10m"):
                         raise RuntimeError("time budget")
