@@ -405,7 +405,7 @@ def _traversal_gather_bytes_per_iter(index, variant, q, beam):
 
 
 def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
-               beam=2, extra=16, n_pipeline=8):
+               beam=2, extra=16, n_pipeline=8, mmap=True):
     """Base-variant row: host-RAM (mmap) graph + device PQ — the reference's
     billion-scale configuration and its published headline (bang_search.cu:
     569-1068; Cost_Analysis.pdf p.2-3). Reports the honest wall QPS (tunnel-
@@ -416,7 +416,11 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
     from bang_tpu.utils.recall import calculate_recall
 
     nq = queries_np.shape[0]
-    searcher = BaseVariantSearcher(prefix, n_pipeline_batches=n_pipeline)
+    # mmap=False loads the packed graph fully into host RAM (the reference's
+    # configuration: 640 GB host RAM for the 1B graph, README.md:13) — with
+    # mmap the per-step host gather is page-fault bound on first touch and
+    # understates a RAM-resident host's throughput.
+    searcher = BaseVariantSearcher(prefix, n_pipeline_batches=n_pipeline, mmap=mmap)
     searcher.timers.enabled = True
     row = None
     for L in grid:
@@ -451,8 +455,12 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
 
         q_sub = max(1, nq // n_pipeline)
         params = SearchParams(L=row["L"], k=K, beam_width=beam, extra_iters=extra)
+        # n_chain must be large: one step is ~0.1-2 ms on device while the
+        # per-call readback carries 15-35 ms of tunnel RPC jitter — a short
+        # chain's slope drowns in that noise (measured: n_chain=9 returned
+        # 0.0 at the 100M operating point)
         step_ms = measure_base_device_step_ms(
-            searcher, queries_np[:q_sub], params, n_chain=9
+            searcher, queries_np[:q_sub], params, n_chain=129
         )
         row["device_step_ms"] = round(step_ms, 3)
         device_total_ms = step_ms * row["n_device_steps"]
