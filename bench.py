@@ -488,11 +488,46 @@ def load_bundle(prefix, nq):
     return jnp.asarray(queries), gt_ids[:nq], gt_dists[:nq]
 
 
+def _probe_backend(attempts=3, timeout_s=600):
+    """Fail fast (with a JSON line) if the device backend is unreachable.
+
+    The axon TPU tunnel can wedge such that the FIRST device op blocks
+    forever (observed round 3: in-flight RPCs hang after harness churn). A
+    bench that hangs reports nothing; probe in a subprocess with a timeout
+    so the headline JSON always prints. First compile through a cold tunnel
+    is legitimately slow (~1-4 min) — the timeout is generous and retried."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256), jnp.bfloat16);"
+            "print(float((x @ x).sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+            log(f"backend probe attempt {i + 1} rc={r.returncode}: "
+                f"{r.stderr.decode()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {i + 1} timed out ({timeout_s}s)")
+    return False
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     from bang_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if not os.environ.get("BANG_FORCE_CPU") and not _probe_backend():
+        print(json.dumps({
+            "metric": f"QPS@0.9recall10_synth{N // 1000}K_1chip",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+            "error": "device backend unreachable (probe subprocess hung/"
+                     "failed 3x600s) — the axon tunnel is down, not the "
+                     "framework; rerun when the device responds",
+        }))
+        return
     import jax
 
     # Wall-clock budget: secondary sections are skipped once exceeded so the
