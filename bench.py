@@ -685,9 +685,14 @@ def main():
 
             q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
             g100i, g100d = load_truthset(p100 + "_gt.bin")
+            # grid jumps to the measured recall frontier (full curve in
+            # BASE100M_r03.json: 60.6@L60 ... 89.75@L512 — the single-pass
+            # R=32 sharded graph needs the reference's MAX_L). mmap=False:
+            # the 26 GB packed graph fits host RAM (the reference's own
+            # configuration), avoiding page-fault-bound host gathers.
             result["base100m"] = sweep_base(
                 p100, q100, g100i[:Q], g100d[:Q],
-                grid=(45, 60, 90, 130, 180), beam=2, extra=16,
+                grid=(90, 180, 512), beam=2, extra=24, mmap=False,
             )
         except Exception as e:  # pragma: no cover
             log(f"base100m failed: {e}")
