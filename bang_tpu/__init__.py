@@ -15,6 +15,19 @@ Subpackages (formats/utils are numpy-only; everything else imports JAX):
   harness/  — CLI driver with L-sweep / recall / QPS reporting
 """
 
+import os as _os
+
+if _os.environ.get("BANG_FORCE_CPU"):
+    # Hermetic/offline mode for tests and subprocesses: the axon TPU plugin
+    # ignores the JAX_PLATFORMS env var, so the config API is the only way to
+    # force CPU — and it only affects THIS process. Honoring the env var here
+    # makes the switch inheritable by child processes (harness driver runs
+    # spawned by scripts), which otherwise dial the device tunnel and can
+    # hang forever when it is down.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from bang_tpu.constants import (  # noqa: F401
     MAX_R,
     MAX_L,

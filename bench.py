@@ -670,29 +670,52 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"glove200_mips failed: {e}")
             result["glove200_mips"] = {"error": str(e)}
+        try:
+            # SPACEV-like row: signed int8, d=100 — the reference's third
+            # dtype (bang.h:85-87 instantiates <int8_t>; SPACEV1B is its
+            # 106,383-QPS dataset, Cost_Analysis.pdf p.2). Completes dtype
+            # coverage: u8 (SIFT-like), f32 (GIST-like), int8 here.
+            ps = prefix_for("spacev", 100_000, 100, 32, 50, "pruned")
+            if not os.path.exists(ps + "_gt.bin"):
+                build_bundle(ps, 100_000, 100, 32, 50, "pruned", 2048,
+                             dtype=np.int8)
+            qs, si, sd = load_bundle(ps, 2048)
+            result["spacev_int8"] = sweep_variant(
+                ps, "inmemory", qs, si, sd, grid=(20, 32, 48, 64, 96), beam=2,
+                extra=12,
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"spacev_int8 failed: {e}")
+            result["spacev_int8"] = {"error": str(e)}
 
     # ---- 100M base row: the reference's identity configuration ----
     # (longest section: runs last so cheaper rows are never starved by it;
     # bundle produced by scripts/build_100m.py, the sharded builder)
-    p100 = os.path.join(
-        CACHE, "synthg_v1_n100000000_d128_r32_m32_shardvamana"
+    # prefer the R=64 graph (DiskANN-quality degree: recall ~0.9 near L~100)
+    # over the first-cut single-pass R=32 one (needs MAX_L=512 for ~0.9 —
+    # full curve in BASE100M_r03.json)
+    _cands = (
+        ("synthg_v1_n100000000_d128_r64_m32_shardvamana", (60, 100, 150)),
+        ("synthg_v1_n100000000_d128_r32_m32_shardvamana", (90, 180, 512)),
     )
-    if not FAST and os.path.exists(p100 + "_gt.bin") and os.path.exists(
-        p100 + "_disk.bin"
-    ) and not over_budget("base100m"):
+    p100, grid100 = None, None
+    for _name, _grid in _cands:
+        _p = os.path.join(CACHE, _name)
+        if os.path.exists(_p + "_gt.bin") and os.path.exists(_p + "_disk.bin"):
+            p100, grid100 = _p, _grid
+            break
+    if not FAST and p100 is not None and not over_budget("base100m"):
         try:
             from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
 
             q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
             g100i, g100d = load_truthset(p100 + "_gt.bin")
-            # grid jumps to the measured recall frontier (full curve in
-            # BASE100M_r03.json: 60.6@L60 ... 89.75@L512 — the single-pass
-            # R=32 sharded graph needs the reference's MAX_L). mmap=False:
-            # the 26 GB packed graph fits host RAM (the reference's own
-            # configuration), avoiding page-fault-bound host gathers.
+            # mmap=False: the packed graph (26-39 GB) fits host RAM (the
+            # reference's own configuration, bang_search.cu:311-328),
+            # avoiding page-fault-bound host gathers.
             result["base100m"] = sweep_base(
                 p100, q100, g100i[:Q], g100d[:Q],
-                grid=(90, 180, 512), beam=2, extra=24, mmap=False,
+                grid=grid100, beam=2, extra=24, mmap=False,
             )
         except Exception as e:  # pragma: no cover
             log(f"base100m failed: {e}")

@@ -40,11 +40,29 @@ M = int(os.environ.get("B100_M", 32))
 NQ = 10_000
 N_SHARDS = int(os.environ.get("B100_SHARDS", 6))
 L_BUILD = int(os.environ.get("B100_LBUILD", 32))
+N_PASSES = int(os.environ.get("B100_PASSES", 1))
 BATCH = int(os.environ.get("B100_BATCH", 16384))
 CACHE = "/root/repo/bench_data"
 PREFIX = os.path.join(CACHE, f"synthg_v1_n{N}_d{D}_r{R}_m{M}_shardvamana")
 CKPT = PREFIX + "_ckpt"
 os.makedirs(CKPT, exist_ok=True)
+
+# The generated dataset depends only on (N, D, block, n_clusters, seed) —
+# NOT on the graph parameters — so a sibling bundle built at a different R
+# has byte-identical queries, ground truth, PQ (same M) and medoid. Hardlink
+# them instead of recomputing (~25 min of device time at 100M).
+REUSE = os.environ.get("B100_REUSE", "")
+if REUSE:
+    _links = [("_query.bin", True), ("_gt.bin", True),
+              ("_pq_pivots.bin", REUSE.split("_m")[1].split("_")[0] == str(M)),
+              ("_pq_compressed.bin", REUSE.split("_m")[1].split("_")[0] == str(M))]
+    for suffix, ok in _links:
+        src, dst = REUSE + suffix, PREFIX + suffix
+        if ok and os.path.exists(src) and not os.path.exists(dst):
+            os.link(src, dst)
+    _src_med = REUSE + "_ckpt/medoid.npy"
+    if os.path.exists(_src_med) and not os.path.exists(CKPT + "/medoid.npy"):
+        os.link(_src_med, CKPT + "/medoid.npy")
 
 t0 = time.time()
 
@@ -60,14 +78,20 @@ gen = bigbuild.BlockGen(N, D, block=1 << 19, n_clusters=4096, seed=11)
 # ---- stage: graph ----
 adj_path, deg_path = CKPT + "/adj.npy", CKPT + "/deg.npy"
 if not os.path.exists(adj_path):
-    log(f"sharded build: N={N} R={R} shards={N_SHARDS} l_build={L_BUILD}")
+    log(f"sharded build: N={N} R={R} shards={N_SHARDS} l_build={L_BUILD} "
+        f"passes={N_PASSES}")
     adj, degrees, _assign = bigbuild.build_sharded_vamana(
         gen, r=R, l_build=L_BUILD, n_shards=N_SHARDS, overlap=2,
-        batch=BATCH, n_passes=1, seed=11, ckpt_dir=CKPT,
+        batch=BATCH, n_passes=N_PASSES, seed=11, ckpt_dir=CKPT,
     )
     np.save(adj_path, adj)
     np.save(deg_path, degrees)
     log("graph checkpointed")
+    # per-shard checkpoints only exist to resume a crashed graph stage; at
+    # 100M/R=64 they total ~50 GB — reclaim the disk before writing _disk.bin
+    import glob as _glob
+    for f in _glob.glob(CKPT + "/shard*_adj.npy"):
+        os.remove(f)
 else:
     adj = np.load(adj_path)
     degrees = np.load(deg_path)
