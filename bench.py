@@ -643,6 +643,40 @@ def main():
         else:
             log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
 
+    # ---- 100M base row: the reference's identity configuration ----
+    # (runs before the breadth rows: with the R=64 graph this is the
+    # round's primary evidence row and must not be starved by the time
+    # budget; bundle produced by scripts/build_100m.py, the sharded builder)
+    # prefer the R=64 graph (DiskANN-quality degree: recall ~0.9 near L~100)
+    # over the first-cut single-pass R=32 one (needs MAX_L=512 for ~0.9 —
+    # full curve in BASE100M_r03.json)
+    _cands = (
+        ("synthg_v1_n100000000_d128_r64_m32_shardvamana", (60, 100, 150)),
+        ("synthg_v1_n100000000_d128_r32_m32_shardvamana", (90, 180, 512)),
+    )
+    p100, grid100 = None, None
+    for _name, _grid in _cands:
+        _p = os.path.join(CACHE, _name)
+        if os.path.exists(_p + "_gt.bin") and os.path.exists(_p + "_disk.bin"):
+            p100, grid100 = _p, _grid
+            break
+    if not FAST and p100 is not None and not over_budget("base100m"):
+        try:
+            from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
+
+            q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
+            g100i, g100d = load_truthset(p100 + "_gt.bin")
+            # mmap=False: the packed graph (26-39 GB) fits host RAM (the
+            # reference's own configuration, bang_search.cu:311-328),
+            # avoiding page-fault-bound host gathers.
+            result["base100m"] = sweep_base(
+                p100, q100, g100i[:Q], g100d[:Q],
+                grid=grid100, beam=2, extra=24, mmap=False,
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"base100m failed: {e}")
+            result["base100m"] = {"error": str(e)}
+
     # ---- breadth rows: high-dim + MIPS ----
     if not FAST and not over_budget("breadth"):
         try:
@@ -687,39 +721,6 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"spacev_int8 failed: {e}")
             result["spacev_int8"] = {"error": str(e)}
-
-    # ---- 100M base row: the reference's identity configuration ----
-    # (longest section: runs last so cheaper rows are never starved by it;
-    # bundle produced by scripts/build_100m.py, the sharded builder)
-    # prefer the R=64 graph (DiskANN-quality degree: recall ~0.9 near L~100)
-    # over the first-cut single-pass R=32 one (needs MAX_L=512 for ~0.9 —
-    # full curve in BASE100M_r03.json)
-    _cands = (
-        ("synthg_v1_n100000000_d128_r64_m32_shardvamana", (60, 100, 150)),
-        ("synthg_v1_n100000000_d128_r32_m32_shardvamana", (90, 180, 512)),
-    )
-    p100, grid100 = None, None
-    for _name, _grid in _cands:
-        _p = os.path.join(CACHE, _name)
-        if os.path.exists(_p + "_gt.bin") and os.path.exists(_p + "_disk.bin"):
-            p100, grid100 = _p, _grid
-            break
-    if not FAST and p100 is not None and not over_budget("base100m"):
-        try:
-            from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
-
-            q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
-            g100i, g100d = load_truthset(p100 + "_gt.bin")
-            # mmap=False: the packed graph (26-39 GB) fits host RAM (the
-            # reference's own configuration, bang_search.cu:311-328),
-            # avoiding page-fault-bound host gathers.
-            result["base100m"] = sweep_base(
-                p100, q100, g100i[:Q], g100d[:Q],
-                grid=grid100, beam=2, extra=24, mmap=False,
-            )
-        except Exception as e:  # pragma: no cover
-            log(f"base100m failed: {e}")
-            result["base100m"] = {"error": str(e)}
 
 
     print(json.dumps(result))
