@@ -406,6 +406,8 @@ def build_sharded_vamana(
     seed: int = 0,
     verbose: bool = True,
     ckpt_dir: str | None = None,
+    init_adj: np.ndarray | None = None,
+    init_deg: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """DiskANN-style sharded build over a generated dataset.
 
@@ -442,11 +444,30 @@ def build_sharded_vamana(
             log(f"shard {s}: {n_s} members; loaded from checkpoint")
         else:
             log(f"shard {s}: {n_s} members; assembling vectors on device")
+            init = None
+            if init_adj is not None:
+                # Warm start (degree upgrade / extra pass): map the global
+                # seed graph's neighbor ids into shard-local ids; edges
+                # leaving the shard become self-padding, and surviving
+                # edges are compacted to the row front (the builder's
+                # reverse-edge slot arithmetic assumes real-edges-first).
+                g_rows = init_adj[member_ids]  # [n_s, r_in] global ids
+                loc = np.searchsorted(member_ids, g_rows)
+                loc = np.minimum(loc, n_s - 1).astype(np.int32)
+                # a source row's self-padding entries (own global id) map to
+                # a valid local id — they are not edges; mask them out
+                ok = (member_ids[loc] == g_rows) & (g_rows != member_ids[:, None])
+                self_col = np.arange(n_s, dtype=np.int32)[:, None]
+                local = np.where(ok, loc, self_col)
+                order_c = np.argsort(~ok, axis=1, kind="stable")
+                local = np.take_along_axis(local, order_c, axis=1)
+                init = (local, ok.sum(axis=1).astype(np.int32))
+                del g_rows, loc, ok, local, order_c
             shard_vecs = gather_shard_vectors(gen, assign_dev, s, n_s)
             adj_dev, deg_dev, _med = build_vamana_graph(
                 shard_vecs, r=r, l_build=l_build, alpha=alpha, batch=batch,
                 seed=seed + 10 + s, n_passes=n_passes, verbose=verbose,
-                medoid=int(n_s // 2), return_device=True,
+                medoid=int(n_s // 2), return_device=True, init=init,
             )
             shard_vecs.delete()
             log(f"shard {s}: graph built; downloading adjacency (chunked)")

@@ -199,6 +199,7 @@ def build_vamana_graph(
     verbose: bool = True,
     medoid: int | None = None,
     return_device: bool = False,
+    init: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Build a Vamana graph. Returns (adj [N, r] self-padded, degrees, medoid).
 
@@ -222,14 +223,30 @@ def build_vamana_graph(
 
     n = vectors.shape[0]
     rng = np.random.default_rng(seed)
-    # start at half degree: the slack absorbs reverse-edge appends so that
-    # only overflowing nodes need a device re-prune (DiskANN's scheme)
-    r0 = max(1, r // 2)
-    adj = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
-    adj[:, :r0] = rng.integers(0, n, size=(n, r0), dtype=np.int32)
-    self_hit = adj[:, :r0] == np.arange(n, dtype=np.int32)[:, None]
-    adj[:, :r0][self_hit] = (adj[:, :r0][self_hit] + 1) % n
-    degrees = np.full(n, r0, np.int32)
+    if init is not None:
+        # Warm start from an existing graph (DiskANN-style incremental
+        # build): a single warm pass behaves like the second pass of a
+        # 2-pass build — the greedy searches navigate real structure from
+        # batch one — and, unlike n_passes, it also supports DEGREE
+        # upgrades (e.g. seeding an R=64 build from an R=32 graph; the
+        # extra slots are slack for reverse edges). init rows must follow
+        # this module's convention: real edges first, self-padding after.
+        adj0, deg0 = init
+        r_in = adj0.shape[1]
+        assert r_in <= r, f"init degree {r_in} exceeds target r={r}"
+        adj = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
+        adj[:, :r_in] = adj0
+        degrees = np.minimum(deg0.astype(np.int32), r_in)
+    else:
+        # start at half degree: the slack absorbs reverse-edge appends so
+        # that only overflowing nodes need a device re-prune (DiskANN's
+        # scheme)
+        r0 = max(1, r // 2)
+        adj = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
+        adj[:, :r0] = rng.integers(0, n, size=(n, r0), dtype=np.int32)
+        self_hit = adj[:, :r0] == np.arange(n, dtype=np.int32)[:, None]
+        adj[:, :r0][self_hit] = (adj[:, :r0][self_hit] + 1) % n
+        degrees = np.full(n, r0, np.int32)
 
     adj_dev = jnp.asarray(adj)
     deg_dev = jnp.asarray(degrees)

@@ -203,11 +203,13 @@ def measure_base_device_step_ms(
             return _base_step(st, nbrs, fp, qf, tables, codes, use_bloom,
                               pq_impl, beam)
     else:  # chunk-sharded subclass
+        from bang_tpu.parallel.base_tp import make_base_step_tp
+
         codes = searcher.codes_sharded
+        step_tp = make_base_step_tp(searcher.mesh, searcher._resolve_impl(pq_impl))
 
         def one_step(st, nbrs, fp, qf, tables, codes):
-            return searcher._step_tp(st, nbrs, fp, qf, tables, codes,
-                                     use_bloom, beam)
+            return step_tp(st, nbrs, fp, qf, tables, codes, use_bloom, beam)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(state, nbrs, parent_fp, queries_f32, tables, codes, n):

@@ -25,11 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bang_tpu.models.base import BaseVariantSearcher, _step_core
 from bang_tpu.ops.pq import pq_distance_tables, pq_lookup
+from bang_tpu.ops.pq_pallas import pq_lookup_packed
 from bang_tpu.parallel.pq_tp import shard_codes_by_chunk, shard_tables_by_chunk
 
 
-def make_base_step_tp(mesh: Mesh):
-    """Build the chunk-sharded device step for `mesh` (axes: 'data','model')."""
+def make_base_step_tp(mesh: Mesh, pq_impl: str = "xla"):
+    """Build the chunk-sharded device step for `mesh` (axes: 'data','model').
+
+    pq_impl selects the per-shard lookup: 'xla' (take_along_axis), 'pallas'
+    (the packed-table Mosaic kernel — the same hot-op kernel the single-chip
+    path runs, here applied to each chip's chunk slice inside shard_map), or
+    'pallas_interp' (the kernel in interpreter mode, for CPU-mesh tests).
+    The caller must prepare tables in the matching format (f32 [S,Q,m,256]
+    for 'xla'; bf16-pair-packed int32 [S,Q,m,128] for the pallas modes).
+    """
+    assert pq_impl in ("xla", "pallas", "pallas_interp"), pq_impl
 
     @functools.partial(
         jax.jit, static_argnames=("use_bloom", "beam"), donate_argnums=(0,)
@@ -37,7 +47,13 @@ def make_base_step_tp(mesh: Mesh):
     def step_tp(state, nbrs, parent_fp, queries_f32, tables_sharded,
                 codes_sharded, use_bloom, beam):
         def partial_lookup(tables, codes, cand):
-            part = pq_lookup(tables[0], codes[0][cand])  # local chunk slice
+            local = codes[0][cand]  # [Q, C, m_local] this chip's chunk slice
+            if pq_impl == "xla":
+                part = pq_lookup(tables[0], local)
+            else:
+                part = pq_lookup_packed(
+                    tables[0], local, interpret=(pq_impl == "pallas_interp")
+                )
             return jax.lax.psum(part, "model")
 
         raw = jax.shard_map(
@@ -79,26 +95,25 @@ class ShardedBaseSearcher(BaseVariantSearcher):
         self.codes_sharded = jax.device_put(
             shard_codes_by_chunk(codes_np, s), NamedSharding(mesh, P("model"))
         )
-        self._step_tp = make_base_step_tp(mesh)
-        self._warned_pq_impl = False
+        self._steps = {}  # pq_impl -> compiled chunk-sharded step
+
+    @staticmethod
+    def _resolve_impl(pq_impl):
+        # the Mosaic kernel only lowers on real TPUs; CPU meshes (tests,
+        # dryrun) run it in interpreter mode so the same code path is
+        # exercised everywhere
+        if pq_impl == "pallas" and jax.default_backend() != "tpu":
+            return "pallas_interp"
+        return pq_impl
 
     def _prepare_tables(self, sub_queries, pq_impl):
-        if pq_impl == "pallas" and not self._warned_pq_impl:
-            # The sharded step runs the XLA take_along_axis lookup inside
-            # shard_map (the packed-table Pallas kernel is not yet wired
-            # through the partial-sum body) — much slower per lookup on TPU
-            # than the single-chip Pallas path. Be loud about it once.
-            from bang_tpu.utils.logging import log_message
+        from bang_tpu.ops.pq_pallas import pack_tables
 
-            log_message(
-                "ShardedBaseSearcher: pq_impl='pallas' requested but the "
-                "chunk-sharded step uses the XLA lookup; expect lower "
-                "throughput than the single-chip Pallas path"
-            )
-            self._warned_pq_impl = True
         t = pq_distance_tables(self.codebook, sub_queries)  # [Q, m, 256]
         if self._m_padded != t.shape[1]:  # padded chunks: all-zero tables
             t = jnp.pad(t, ((0, 0), (0, self._m_padded - t.shape[1]), (0, 0)))
+        if self._resolve_impl(pq_impl) != "xla":
+            t = pack_tables(t)  # [Q, m, 128] int32 bf16-pairs
         s = self.mesh.shape["model"]
         return jax.device_put(
             shard_tables_by_chunk(t, s), NamedSharding(self.mesh, P("model"))
@@ -106,7 +121,11 @@ class ShardedBaseSearcher(BaseVariantSearcher):
 
     def _run_step(self, state, nbrs, parent_fp, queries_f32, tables,
                   use_bloom, pq_impl, beam):
-        return self._step_tp(
+        impl = self._resolve_impl(pq_impl)
+        step = self._steps.get(impl)
+        if step is None:
+            step = self._steps[impl] = make_base_step_tp(self.mesh, impl)
+        return step(
             state, nbrs, parent_fp, queries_f32, tables, self.codes_sharded,
             use_bloom, beam,
         )

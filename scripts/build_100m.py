@@ -78,11 +78,30 @@ gen = bigbuild.BlockGen(N, D, block=1 << 19, n_clusters=4096, seed=11)
 # ---- stage: graph ----
 adj_path, deg_path = CKPT + "/adj.npy", CKPT + "/deg.npy"
 if not os.path.exists(adj_path):
+    # Warm start (B100_WARM=<sibling prefix>): seed each shard build from the
+    # sibling bundle's adjacency — a DiskANN-style incremental pass that also
+    # upgrades degree (R=32 -> 64). The packed _disk.bin IS the adjacency
+    # store; extract via a structured memmap (one sequential scan).
+    init_adj = init_deg = None
+    WARM = os.environ.get("B100_WARM", "")
+    if WARM:
+        from bang_tpu.formats.graph import load_metadata as _lm
+
+        wm = _lm(WARM + "_disk_metadata.bin")
+        rec = np.dtype([("vec", np.uint8, wm.entry_len - 4 - 4 * wm.degree),
+                        ("deg", np.uint32), ("nbr", np.int32, wm.degree)])
+        mm = np.memmap(WARM + "_disk.bin", dtype=rec, mode="r", shape=(wm.n,))
+        log(f"warm start: extracting [{wm.n}, {wm.degree}] adjacency from {WARM}")
+        init_adj = np.ascontiguousarray(mm["nbr"])
+        init_deg = np.minimum(mm["deg"], wm.degree).astype(np.int32)
+        del mm
+        log("warm adjacency extracted")
     log(f"sharded build: N={N} R={R} shards={N_SHARDS} l_build={L_BUILD} "
-        f"passes={N_PASSES}")
+        f"passes={N_PASSES} warm={bool(WARM)}")
     adj, degrees, _assign = bigbuild.build_sharded_vamana(
         gen, r=R, l_build=L_BUILD, n_shards=N_SHARDS, overlap=2,
         batch=BATCH, n_passes=N_PASSES, seed=11, ckpt_dir=CKPT,
+        init_adj=init_adj, init_deg=init_deg,
     )
     np.save(adj_path, adj)
     np.save(deg_path, degrees)

@@ -27,7 +27,8 @@ python scripts/watchdog_run.py --log /tmp/run10m_tuned.log --stall 600 \
   || { echo "[queue] 10M SWEEP FAILED" >>"$LOG"; exit 2; }
 echo "[queue] 10M tuned sweep done $(date)" >>"$LOG"
 
-B100_N=2000000 B100_R=64 B100_M=32 B100_SHARDS=8 B100_LBUILD=48 \
+B100_N=2000000 B100_R=64 B100_M=32 B100_SHARDS=8 B100_LBUILD=40 \
+B100_WARM=/root/repo/bench_data/synthg_v1_n2000000_d128_r32_m32_shardvamana \
 B100_REUSE=/root/repo/bench_data/synthg_v1_n2000000_d128_r32_m32_shardvamana \
 python scripts/watchdog_run.py --log /tmp/build2m_r64.log --stall 420 \
   --budget 5400 -- python -u scripts/build_100m.py \

@@ -8,8 +8,12 @@ cd /root/repo
 LOG=/tmp/phaseB.log
 : > "$LOG"
 
+# Warm start from the round-3 R=32 bundle: a single warm pass at R=64 is
+# effectively the second pass of a 2-pass build (the R=32 pass was already
+# paid for in round 3), so l_build can stay moderate.
 B100_R=64 B100_M=32 B100_SHARDS=${B100_SHARDS:-8} \
-B100_LBUILD=${B100_LBUILD:-48} \
+B100_LBUILD=${B100_LBUILD:-40} \
+B100_WARM=${B100_WARM:-/root/repo/bench_data/synthg_v1_n100000000_d128_r32_m32_shardvamana} \
 B100_REUSE=/root/repo/bench_data/synthg_v1_n100000000_d128_r32_m32_shardvamana \
 python scripts/watchdog_run.py --log /tmp/build100m_r64.log --stall 420 \
   --budget ${B100_BUDGET:-28800} -- python -u scripts/build_100m.py \

@@ -103,3 +103,54 @@ def test_d2h_chunked_matches_device_get():
     x = jnp.asarray(rng.integers(0, 1 << 30, (1000, 7)).astype(np.int32))
     out = bigbuild.d2h_chunked(x, chunk_bytes=256)  # many partial chunks
     np.testing.assert_array_equal(out, np.asarray(jax.device_get(x)))
+
+def test_sharded_build_warm_degree_upgrade(gen):
+    """Warm-started sharded build (init graph R=16 -> target R=32, the
+    incremental-pass path used by the 100M R=64 rebuild): recall must beat
+    the cold R=16 graph and structural invariants must hold (valid ids,
+    no self-edges inside the degree prefix, compacted rows)."""
+    from bang_tpu.models.index import build_device_index
+    from bang_tpu.formats.graph import GraphIndex
+    from bang_tpu.models.exactdistance import search_exact
+    from bang_tpu.utils.config import SearchParams
+    from bang_tpu.utils.recall import calculate_recall
+
+    adj16, deg16, _ = bigbuild.build_sharded_vamana(
+        gen, r=16, l_build=24, n_shards=3, overlap=2, batch=1024,
+        n_passes=1, verbose=False,
+    )
+    adj32, deg32, _ = bigbuild.build_sharded_vamana(
+        gen, r=32, l_build=24, n_shards=3, overlap=2, batch=1024,
+        n_passes=1, verbose=False, init_adj=adj16, init_deg=deg16,
+    )
+    n = gen.n
+    assert adj32.shape == (n, 32)
+    assert ((adj32 >= 0) & (adj32 < n)).all()
+    rows = np.arange(n)[:, None]
+    # degree prefix holds real (non-self) edges; the rest is self-padding
+    col = np.arange(32)[None, :]
+    in_prefix = col < deg32[:, None]
+    assert (adj32[in_prefix] != np.broadcast_to(rows, (n, 32))[in_prefix]).all()
+
+    data = bigbuild.materialize_host(gen)
+    medoid = bigbuild.medoid_streamed(gen)
+    rng = np.random.default_rng(1)
+    queries = data[rng.integers(0, n, 128)].astype(np.float32)
+    gt_ids, gt_dists = bigbuild.groundtruth_u8_streamed(
+        gen, queries.astype(np.uint8), 10, q_block=128
+    )
+    params = SearchParams(L=32, k=10)
+
+    def recall_of(adj, deg):
+        index = build_device_index(
+            graph=GraphIndex(data, adj, deg, medoid), pq=None,
+            neighbor_vectors=False,
+        )
+        ids, _, _ = search_exact(index, queries, params)
+        return calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+
+    r_cold16 = recall_of(adj16, deg16)
+    r_warm32 = recall_of(adj32, deg32)
+    assert r_warm32 >= r_cold16 - 1.0, (r_cold16, r_warm32)
+    assert r_warm32 >= 85.0, r_warm32
+

@@ -127,3 +127,28 @@ def test_sharded_base_variant_matches_single(tiny_index):
 
     recall = calculate_recall(gt_ids[:64], ids_t, 10, gt_dists[:64])
     assert recall >= 85.0, recall
+
+def test_sharded_base_pallas_lookup_matches_xla(tiny_index):
+    """The chunk-sharded step's packed-table Mosaic lookup (interpret mode on
+    the CPU mesh; the real kernel on TPU) matches the XLA lookup path —
+    closing the documented perf cliff where the sharded billion-scale config
+    silently fell back to take_along_axis."""
+    from bang_tpu.parallel.base_tp import ShardedBaseSearcher
+
+    prefix = tiny_index["prefix"]
+    from bang_tpu.formats import load_bin, load_truthset
+
+    queries = load_bin(prefix + "_query.bin", np.float32)[:32]
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+
+    mesh = make_mesh(2, 4)
+    tp = ShardedBaseSearcher(prefix, mesh, n_pipeline_batches=1)
+    ids_x, _ = tp.search(queries, SearchParams(L=32, k=10, pq_impl="xla"))
+    # 'pallas' resolves to interpreter mode off-TPU (_resolve_impl)
+    ids_p, _ = tp.search(queries, SearchParams(L=32, k=10, pq_impl="pallas"))
+
+    # bf16 table entries only steer traversal; exact re-rank fixes the order
+    assert (ids_x == ids_p).mean() > 0.95, (ids_x[:3], ids_p[:3])
+    recall = calculate_recall(gt_ids[:32], ids_p, 10, gt_dists[:32])
+    assert recall >= 85.0, recall
+
