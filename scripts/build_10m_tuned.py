@@ -55,9 +55,23 @@ del raw
 log("vectors extracted from packed source")
 
 if not os.path.exists(DST + "_disk.bin"):
+    # Warm start from the source bundle's R=64 graph: robust-prune emits
+    # edges in greedy nearest-first order, so the first 32 columns of each
+    # row are the highest-priority edges — a better-than-random seed that
+    # the warm pass then re-prunes at R=32 (formats/vamana.py init=).
+    rec = np.dtype([("vec", np.uint8, d), ("deg", np.uint32),
+                    ("nbr", np.int32, (meta.entry_len - d - 4) // 4)])
+    mm = np.memmap(SRC + "_disk.bin", dtype=rec, mode="r", shape=(n,))
+    init_adj = np.ascontiguousarray(mm["nbr"][:, :R])
+    init_deg = np.minimum(mm["deg"], R).astype(np.int32)
+    # truncated self-padding: slots >= deg hold the own id already; rows
+    # whose true degree exceeded R are full, nothing to fix
+    del mm
+    log("warm seed extracted from source R=64 graph")
     adj, degrees, medoid = build_vamana_graph(
         data, r=R, l_build=L_BUILD, alpha=1.44, batch=BATCH, seed=3,
-        n_passes=1,
+        n_passes=1, init=(init_adj, init_deg),
+        medoid=int(meta.medoid),  # same dataset as the source bundle
     )
     log(f"graph built (medoid={medoid})")
     save_graph_index(DST, GraphIndex(data, adj, degrees, medoid))

@@ -69,3 +69,32 @@ def test_vamana_beats_knn_at_small_L(data):
         gt_dists,
     )
     assert r_v >= r_k - 2.0, (r_v, r_k)
+
+def test_vamana_warm_start_truncated_seed(data):
+    """The init= path used by scripts/build_10m_tuned.py: seed an R=12 build
+    with the first 12 columns of an R=20 graph (robust prune emits edges
+    nearest-first, so the truncated prefix is the greedy-best subset) and
+    verify the warm build at low l_build reaches the quality of a colder,
+    more expensive build."""
+    d, q, gt_ids, gt_dists = data
+    adj20, deg20, medoid = build_vamana_graph(d, r=20, l_build=32, batch=512, seed=0)
+    init = (adj20[:, :12].copy(), np.minimum(deg20, 12))
+    adj_w, deg_w, _ = build_vamana_graph(
+        d, r=12, l_build=16, batch=512, seed=2, n_passes=1, init=init,
+        medoid=medoid,
+    )
+    assert adj_w.shape == (3000, 12)
+    assert (deg_w <= 12).all()
+    adj_c, deg_c, _ = build_vamana_graph(
+        d, r=12, l_build=16, batch=512, seed=2, n_passes=1, medoid=medoid
+    )
+
+    def recall_of(adj, deg):
+        index = build_device_index(graph=GraphIndex(d, adj, deg, medoid))
+        ids, _, _ = search_exact(index, q, SearchParams(L=24, k=10))
+        return calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+
+    r_warm, r_cold = recall_of(adj_w, deg_w), recall_of(adj_c, deg_c)
+    assert r_warm >= r_cold - 1.0, (r_warm, r_cold)
+    assert r_warm >= 85.0, r_warm
+
