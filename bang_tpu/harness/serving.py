@@ -100,6 +100,7 @@ def measure_device_batch_latency(
         raise ValueError(f"device latency probe supports HBM variants, not {variant!r}")
 
     q = jnp.asarray(np.asarray(queries, np.float32))
+    entry_samples = params.entry_samples if params.entry_mode == "sampled" else 0
 
     # index arrays MUST be jit arguments — captured (closed-over) arrays
     # become HLO constants, inflating the program by GBs (and overflowing the
@@ -117,6 +118,7 @@ def measure_device_batch_latency(
                 use_bloom=params.visited_mode == "bloom",
                 rerank=params.rerank, pq_impl=params.pq_impl,
                 beam=params.beam_width, fused_rows=fused,
+                entry_samples=entry_samples,
             )
     else:
         arrays = (index.adj, index.vectors, index.vector_norms,
@@ -132,6 +134,7 @@ def measure_device_batch_latency(
                 precision=params.traversal_precision,
                 beam=params.beam_width,
                 fused_vec_rows=fused,
+                entry_samples=entry_samples,
             )
 
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -22,11 +22,12 @@ from bang_tpu.utils.config import SearchParams
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam")
+    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam", "entry_samples")
 )
 def _search_exact_jit(
     adj, vectors, vector_norms, nbr_vecs, nbr_vec_norms, queries, medoid, l, k,
     max_iters, use_bloom, precision="highest", beam=1, fused_vec_rows=None,
+    entry_samples=0,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -38,7 +39,15 @@ def _search_exact_jit(
         nbr_vecs=nbr_vecs, nbr_vec_norms=nbr_vec_norms,
         fused_vec_rows=fused_vec_rows,
     )
-    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
+    entry_ids = None
+    if entry_samples:
+        from bang_tpu.models.entry import sampled_entry_ids
+
+        entry_ids = sampled_entry_ids(
+            queries_f32, vectors, vector_norms, entry_samples
+        )
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom,
+                          beam, entry_ids=entry_ids)
     return (
         final.wl_ids[:, :k],
         final.wl_dist[:, :k],
@@ -68,6 +77,7 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         precision=params.traversal_precision,
         beam=params.beam_width,
         fused_vec_rows=index.fused_vec_rows,
+        entry_samples=params.entry_samples if params.entry_mode == "sampled" else 0,
     )
     # stats stay device-side; SearchStats fetches lazily (one round trip on
     # first access) so back-to-back searches pipeline through the dispatch

@@ -27,7 +27,7 @@ from bang_tpu.utils.config import SearchParams
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank", "pq_impl", "beam"),
+    static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "rerank", "pq_impl", "beam", "entry_samples"),
 )
 def _search_inmemory_jit(
     adj,
@@ -46,6 +46,7 @@ def _search_inmemory_jit(
     pq_impl="auto",
     beam=1,
     fused_rows=None,
+    entry_samples=0,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -53,7 +54,17 @@ def _search_inmemory_jit(
         queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
         fused_rows=fused_rows,
     )
-    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom, beam)
+    entry_ids = None
+    if entry_samples:
+        # entry selection by exact distance (vectors are resident for the
+        # re-rank anyway); the traversal itself still runs on PQ distances
+        from bang_tpu.models.entry import sampled_entry_ids
+
+        entry_ids = sampled_entry_ids(
+            queries_f32, vectors, vector_norms, entry_samples
+        )
+    final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom,
+                          beam, entry_ids=entry_ids)
     if rerank:
         ids, dists = rerank_topk(
             queries_f32, vectors, vector_norms, final.visited_ids, k
@@ -85,6 +96,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         pq_impl=params.pq_impl,
         beam=params.beam_width,
         fused_rows=index.fused_rows,
+        entry_samples=params.entry_samples if params.entry_mode == "sampled" else 0,
     )
     # stats stay device-side; SearchStats fetches lazily (one round trip on
     # first access) so back-to-back searches pipeline through the dispatch

@@ -99,25 +99,28 @@ class SearchStats:
 
 
 def init_state(
-    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1,
+    q: int, l: int, max_iters: int, medoid, use_bloom: bool, beam: int = 1,
     medoid_dist=None,
 ) -> TraversalState:
+    """medoid may be a scalar (the classic shared entry point) or a [Q]
+    int32 array of per-query entry points (see run_traversal entry_ids)."""
+    entry = jnp.broadcast_to(jnp.asarray(medoid, jnp.int32), (q,))
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
     if medoid_dist is not None:
         # seed the worklist with the (already-visited) entry point so that
         # no-rerank paths can return it when it is a true nearest neighbor
         wl_dist = wl_dist.at[:, 0].set(medoid_dist)
-        wl_ids = wl_ids.at[:, 0].set(medoid)
+        wl_ids = wl_ids.at[:, 0].set(entry)
         wl_vis = wl_vis.at[:, 0].set(True)
-    parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, 0].set(medoid)
+    parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, 0].set(entry)
     parent_valid = jnp.zeros((q, beam), dtype=jnp.bool_).at[:, 0].set(True)
     visited = jnp.full((q, max_iters * beam), INVALID_ID, dtype=jnp.int32)
-    visited = visited.at[:, 0].set(medoid)
+    visited = visited.at[:, 0].set(entry)
     bloom = None
     if use_bloom:
         bloom = bloom_insert(
             jnp.zeros((q, BF_ENTRIES), jnp.uint8),
-            jnp.full((q, 1), medoid, jnp.int32),
+            entry[:, None],
             jnp.ones((q, 1), jnp.bool_),
         )
     active = jnp.ones((q,), jnp.bool_)
@@ -194,14 +197,22 @@ def run_traversal(
     max_iters: int,
     use_bloom: bool,
     beam: int = 1,
+    entry_ids=None,
 ) -> TraversalState:
-    """Run the full on-device while_loop; returns the final state."""
+    """Run the full on-device while_loop; returns the final state.
+
+    entry_ids [Q] (optional): per-query entry points replacing the shared
+    medoid (sampled-entry mode — see models/entry.py). The reference always
+    enters at the medoid (bang_search.cu:466-506); starting nearer saves
+    traversal iterations, the workload's unit of cost.
+    """
     step = make_step(adj, distance_fn, use_bloom, beam)
+    entry = jnp.full((q,), medoid, jnp.int32) if entry_ids is None else entry_ids
     # one-off entry-point distance: use the plain-XLA path when the distance
     # fn provides one (the Pallas kernel is built for wide candidate batches)
     seed_fn = getattr(distance_fn, "seed_fn", distance_fn)
-    medoid_dist = seed_fn(jnp.full((q, 1), medoid, jnp.int32), None)[:, 0]
-    state = init_state(q, l, max_iters, medoid, use_bloom, beam, medoid_dist)
+    medoid_dist = seed_fn(entry[:, None], None)[:, 0]
+    state = init_state(q, l, max_iters, entry, use_bloom, beam, medoid_dist)
     return jax.lax.while_loop(
         lambda s: (s.it < max_iters) & s.active.any(),
         step,

@@ -35,6 +35,11 @@ class SearchParams:
     pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
     traversal_precision: str = "highest"  # exact-path cross term: "highest"|"default"
     capabilities: int = 0  # ENABLE_GPU_STATS | ENABLE_CACHE_WARMUP bitmask
+    # "medoid" = reference behavior (one shared entry, bang_search.cu:466);
+    # "sampled" = per-query entry via one [Q, S] MXU matmul over a strided
+    # sample (models/entry.py) — saves traversal iterations
+    entry_mode: str = "medoid"
+    entry_samples: int = 1024  # sample size S when entry_mode == "sampled"
 
     def __post_init__(self):
         if not (1 <= self.L <= MAX_L):
@@ -49,6 +54,10 @@ class SearchParams:
             raise ValueError(f"unknown traversal_precision {self.traversal_precision!r}")
         if not (1 <= self.beam_width <= 16):
             raise ValueError(f"beam_width must be in [1, 16], got {self.beam_width}")
+        if self.entry_mode not in ("medoid", "sampled"):
+            raise ValueError(f"unknown entry_mode {self.entry_mode!r}")
+        if self.entry_samples < 1:
+            raise ValueError("entry_samples must be >= 1")
 
     @property
     def max_iters(self) -> int:

@@ -180,7 +180,7 @@ def _mips_groundtruth(data, queries, k):
 
 
 def _measure_point(index, search, queries, gt_ids, gt_dists, L, beam, extra,
-                   n_reps=3, measure_pipelined=False):
+                   n_reps=3, measure_pipelined=False, entry_mode="medoid"):
     """Measure one (L, beam, extra) operating point; returns a result row
     with per-rep wall times (the round-2 headline regression was
     undiagnosable because the JSON carried only a single number)."""
@@ -190,7 +190,7 @@ def _measure_point(index, search, queries, gt_ids, gt_dists, L, beam, extra,
     nq = queries.shape[0]
     params = SearchParams(
         L=L, k=K, beam_width=beam, extra_iters=extra,
-        traversal_precision="default",
+        traversal_precision="default", entry_mode=entry_mode,
     )
     ids, dists, stats = search(index, queries, params)  # compile+warm
     stats.sync()
@@ -201,7 +201,7 @@ def _measure_point(index, search, queries, gt_ids, gt_dists, L, beam, extra,
         stats.sync()  # stats are lazy; timing must block on completion
         times.append(time.perf_counter() - t0)
     out = {
-        "L": L, "beam": beam, "extra": extra,
+        "L": L, "beam": beam, "extra": extra, "entry": entry_mode,
         "qps": round(nq / min(times), 1),
         "qps_median": round(nq / float(np.median(times)), 1),
         "rep_s": [round(t, 4) for t in times],
@@ -239,11 +239,11 @@ def _refine_knee(index, search, queries, gt_ids, gt_dists, l_prev, point,
     """
     best = point
 
-    def probe(L, beam, extra):
+    def probe(L, beam, extra, entry="medoid"):
         nonlocal best
         row = _measure_point(index, search, queries, gt_ids, gt_dists,
-                             L, beam, extra, n_reps=2)
-        log(f"  refine L={L} beam={beam} extra={extra} "
+                             L, beam, extra, n_reps=2, entry_mode=entry)
+        log(f"  refine L={L} beam={beam} extra={extra} entry={entry} "
             f"recall={row['recall']:.2f} qps={row['qps']:,.0f}")
         if row["recall"] >= TARGET_RECALL and row["qps"] > best["qps"]:
             best = row
@@ -269,6 +269,9 @@ def _refine_knee(index, search, queries, gt_ids, gt_dists, l_prev, point,
     for beam in try_beams:
         if beam != best["beam"]:
             probe(best["L"], beam, best["extra"])
+    # (d) sampled entry points (models/entry.py): saves iterations when the
+    # medoid->target walk dominates; one extra compile at the chosen point
+    probe(best["L"], best["beam"], best["extra"], entry="sampled")
     best["frontier"] = True
     return best
 
@@ -317,6 +320,7 @@ def sweep_variant(
     final = _measure_point(
         index, search, queries, gt_ids, gt_dists, best["L"], best["beam"],
         best["extra"], n_reps=5, measure_pipelined=True,
+        entry_mode=best.get("entry", "medoid"),
     )
     final["frontier"] = best.get("frontier", False)
     final["variant"] = variant
@@ -325,7 +329,7 @@ def sweep_variant(
     if measure_serving:
         params = SearchParams(
             L=best["L"], k=K, beam_width=best["beam"], extra_iters=best["extra"],
-            traversal_precision="default",
+            traversal_precision="default", entry_mode=best.get("entry", "medoid"),
         )
         from bang_tpu.harness.serving import measure_device_batch_latency
 

@@ -136,3 +136,32 @@ def test_neighbor_vectors_layout_matches(tiny_index):
     ids_a, d_a, _ = search_exact(idx_plain, queries, params)
     ids_b, d_b, _ = search_exact(idx_nbr, queries, params)
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+def test_sampled_entry_mode(loaded):
+    """entry_mode="sampled" (per-query entry via a strided-sample matmul,
+    models/entry.py) must preserve recall while spending no more traversal
+    iterations than the shared-medoid start — on both variants."""
+    index, queries, gt_ids, gt_dists = loaded
+    base = SearchParams(L=32, k=10)
+    samp = SearchParams(L=32, k=10, entry_mode="sampled", entry_samples=256)
+
+    ids_m, _, st_m = search_exact(index, queries, base)
+    ids_s, _, st_s = search_exact(index, queries, samp)
+    r_m = calculate_recall(gt_ids, np.asarray(ids_m), 10, gt_dists)
+    r_s = calculate_recall(gt_ids, np.asarray(ids_s), 10, gt_dists)
+    assert r_s >= r_m - 1.0, (r_m, r_s)
+    assert st_s.iters <= st_m.iters, (st_m.iters, st_s.iters)
+
+
+def test_sampled_entry_mode_inmemory(tiny_index):
+    from bang_tpu.models.inmemory import search_inmemory
+
+    prefix = tiny_index["prefix"]
+    index = device_index_from_files(prefix, variant="inmemory")
+    queries = load_bin(prefix + "_query.bin", np.float32)
+    gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
+    samp = SearchParams(L=32, k=10, entry_mode="sampled", entry_samples=256)
+    ids, _, stats = search_inmemory(index, queries, samp)
+    recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
+    assert recall >= 90.0, recall
+
