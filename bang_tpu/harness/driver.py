@@ -33,13 +33,14 @@ DTYPE_MAP = {"float": np.float32, "float32": np.float32, "uint8": np.uint8, "int
 
 
 def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps,
-          visited_mode="exact", stats=False, beam=1, extra_iters=50):
+          visited_mode="exact", stats=False, beam=1, extra_iters=50,
+          entry_mode="medoid"):
     """Run one L value `reps` times; returns list of (wall_ms, qps, recall)."""
     from bang_tpu.constants import ENABLE_GPU_STATS
 
     engine.bang_set_searchparams(
         k, L, visited_mode=visited_mode, beam_width=beam, extra_iters=extra_iters,
-        capabilities=ENABLE_GPU_STATS if stats else 0,
+        capabilities=ENABLE_GPU_STATS if stats else 0, entry_mode=entry_mode,
     )
     engine.bang_alloc(queries.shape[0])
     rows = []
@@ -81,6 +82,9 @@ def main(argv=None):
                    help="auto mode: stop once recall reaches this value")
     p.add_argument("--visited-mode", default="exact", choices=["exact", "bloom"])
     p.add_argument("--beam", type=int, default=1, help="parents expanded per iteration")
+    p.add_argument("--entry-mode", default="medoid", choices=["medoid", "sampled"],
+                   help="search entry: shared medoid (reference behavior) or "
+                        "per-query sampled entry (models/entry.py)")
     p.add_argument("--extra-iters", type=int, default=50,
                    help="expansion budget beyond L (reference: 50)")
     p.add_argument("--stats", action="store_true",
@@ -145,11 +149,11 @@ def main(argv=None):
     print("L\twall_ms\tQPS\trecall\trep")
     if args.mode == "single":
         L = args.L or max(args.k, 10)
-        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
+        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
     elif args.mode == "auto":
         L = max(args.k, 10) if preset is None else max(args.k, preset.default_L)
         while L <= args.max_L:
-            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
+            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
             if args.target_recall is not None and best[2] >= args.target_recall:
                 log_message(f"target recall {args.target_recall} reached at L={L}")
                 break
@@ -159,7 +163,7 @@ def main(argv=None):
             line = input("Enter L (or q to quit): ").strip()
             if line.lower() in ("q", "n", "quit", "exit", ""):
                 break
-            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters))
+            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
 
     engine.bang_unload()
     log_message("SEARCH END")
