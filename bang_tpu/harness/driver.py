@@ -34,7 +34,7 @@ DTYPE_MAP = {"float": np.float32, "float32": np.float32, "uint8": np.uint8, "int
 
 def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps,
           visited_mode="exact", stats=False, beam=1, extra_iters=50,
-          entry_mode="medoid"):
+          entry_mode="medoid", profile_dir=None):
     """Run one L value `reps` times; returns list of (wall_ms, qps, recall)."""
     from bang_tpu.constants import ENABLE_GPU_STATS
 
@@ -44,10 +44,18 @@ def run_L(engine: BANGSearch, queries, gt_ids, gt_dists, L, k, reps,
     )
     engine.bang_alloc(queries.shape[0])
     rows = []
-    for _ in range(reps):
+    for rep in range(reps):
         engine.bang_init()
+        import contextlib
+
+        prof = contextlib.nullcontext()
+        if profile_dir and rep == 0:
+            import jax
+
+            prof = jax.profiler.trace(profile_dir)
         t0 = time.perf_counter()
-        ids, _dists = engine.bang_query(queries)
+        with prof:
+            ids, _dists = engine.bang_query(queries)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         qps = queries.shape[0] / (wall_ms / 1000.0)
         recall = calculate_recall(gt_ids, ids, k, gt_dists)
@@ -92,6 +100,9 @@ def main(argv=None):
     p.add_argument("--pipeline", type=int, default=None,
                    help="base variant: query sub-batches kept in flight")
     p.add_argument("--json", action="store_true", help="emit one JSON line per L")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first rep into "
+                        "this directory (view with xprof/tensorboard)")
     p.add_argument("--dataset", default=None,
                    help="dataset preset name (utils/config.py::DATASET_PRESETS; "
                         "the reference's parANN.h #define blocks): validates "
@@ -149,11 +160,11 @@ def main(argv=None):
     print("L\twall_ms\tQPS\trecall\trep")
     if args.mode == "single":
         L = args.L or max(args.k, 10)
-        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
+        report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode, args.profile_dir))
     elif args.mode == "auto":
         L = max(args.k, 10) if preset is None else max(args.k, preset.default_L)
         while L <= args.max_L:
-            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
+            best = report(L, run_L(engine, queries, gt_ids, gt_dists, L, args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode, args.profile_dir))
             if args.target_recall is not None and best[2] >= args.target_recall:
                 log_message(f"target recall {args.target_recall} reached at L={L}")
                 break
@@ -163,7 +174,7 @@ def main(argv=None):
             line = input("Enter L (or q to quit): ").strip()
             if line.lower() in ("q", "n", "quit", "exit", ""):
                 break
-            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode))
+            report(int(line), run_L(engine, queries, gt_ids, gt_dists, int(line), args.k, args.reps, args.visited_mode, args.stats, args.beam, args.extra_iters, args.entry_mode, args.profile_dir))
 
     engine.bang_unload()
     log_message("SEARCH END")
