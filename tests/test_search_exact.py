@@ -165,3 +165,22 @@ def test_sampled_entry_mode_inmemory(tiny_index):
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 90.0, recall
 
+def test_sampled_entry_ids_unit():
+    """sampled_entry_ids returns the argmin over the strided sample by true
+    squared L2 (rank-only form drops the |q|^2 constant)."""
+    import jax.numpy as jnp
+    from bang_tpu.models.entry import sampled_entry_ids
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    qs = rng.normal(size=(7, 16)).astype(np.float32)
+    norms = (vecs ** 2).sum(-1)
+    s = 64
+    got = np.asarray(sampled_entry_ids(jnp.asarray(qs), jnp.asarray(vecs),
+                                       jnp.asarray(norms), s))
+    stride = 500 // s
+    sample = (np.arange(s) * stride) % 500
+    d = ((qs[:, None, :] - vecs[sample][None, :, :]) ** 2).sum(-1)
+    want = sample[np.argmin(d, axis=1)]
+    np.testing.assert_array_equal(got, want)
+
