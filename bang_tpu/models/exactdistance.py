@@ -39,15 +39,15 @@ def _search_exact_jit(
         nbr_vecs=nbr_vecs, nbr_vec_norms=nbr_vec_norms,
         fused_vec_rows=fused_vec_rows,
     )
-    entry_ids = None
+    entry_ids = entry_dists = None
     if entry_samples:
-        from bang_tpu.models.entry import sampled_entry_ids
+        from bang_tpu.models.entry import sampled_entry_topb
 
-        entry_ids = sampled_entry_ids(
-            queries_f32, vectors, vector_norms, entry_samples
+        entry_ids, entry_dists = sampled_entry_topb(
+            queries_f32, vectors, vector_norms, entry_samples, beam
         )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom,
-                          beam, entry_ids=entry_ids)
+                          beam, entry_ids=entry_ids, entry_dists=entry_dists)
     return (
         final.wl_ids[:, :k],
         final.wl_dist[:, :k],

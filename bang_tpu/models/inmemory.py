@@ -54,17 +54,19 @@ def _search_inmemory_jit(
         queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
         fused_rows=fused_rows,
     )
-    entry_ids = None
+    entry_ids = entry_dists = None
     if entry_samples:
-        # entry selection by exact distance (vectors are resident for the
-        # re-rank anyway); the traversal itself still runs on PQ distances
-        from bang_tpu.models.entry import sampled_entry_ids
+        # entry selection (and worklist seed distances) by exact distance —
+        # vectors are resident for the re-rank anyway; the traversal itself
+        # still runs on PQ distances. One exact seed value among PQ
+        # estimates only improves the ordering.
+        from bang_tpu.models.entry import sampled_entry_topb
 
-        entry_ids = sampled_entry_ids(
-            queries_f32, vectors, vector_norms, entry_samples
+        entry_ids, entry_dists = sampled_entry_topb(
+            queries_f32, vectors, vector_norms, entry_samples, beam
         )
     final = run_traversal(adj, distance_fn, medoid, q, l, max_iters, use_bloom,
-                          beam, entry_ids=entry_ids)
+                          beam, entry_ids=entry_ids, entry_dists=entry_dists)
     if rerank:
         ids, dists = rerank_topk(
             queries_f32, vectors, vector_norms, final.visited_ids, k

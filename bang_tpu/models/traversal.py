@@ -102,26 +102,36 @@ def init_state(
     q: int, l: int, max_iters: int, medoid, use_bloom: bool, beam: int = 1,
     medoid_dist=None,
 ) -> TraversalState:
-    """medoid may be a scalar (the classic shared entry point) or a [Q]
-    int32 array of per-query entry points (see run_traversal entry_ids)."""
-    entry = jnp.broadcast_to(jnp.asarray(medoid, jnp.int32), (q,))
+    """medoid may be a scalar (the classic shared entry point), a [Q] int32
+    array of per-query entries, or a [Q, P] array (P <= beam) seeding P beam
+    slots per query (see run_traversal entry_ids). medoid_dist must match
+    the entry shape ([Q] or [Q, P]). The worklist seed slots need no
+    ordering: merge_worklist fully sorts concat(worklist, candidates)."""
+    entries = jnp.asarray(medoid, jnp.int32)
+    if entries.ndim == 0:
+        entries = jnp.broadcast_to(entries, (q,))
+    if entries.ndim == 1:
+        entries = entries[:, None]
+    p = entries.shape[1]
+    assert p <= beam, f"entry seeds {p} exceed beam width {beam}"
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
     if medoid_dist is not None:
-        # seed the worklist with the (already-visited) entry point so that
-        # no-rerank paths can return it when it is a true nearest neighbor
-        wl_dist = wl_dist.at[:, 0].set(medoid_dist)
-        wl_ids = wl_ids.at[:, 0].set(entry)
-        wl_vis = wl_vis.at[:, 0].set(True)
-    parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, 0].set(entry)
-    parent_valid = jnp.zeros((q, beam), dtype=jnp.bool_).at[:, 0].set(True)
+        # seed the worklist with the (already-visited) entry points so that
+        # no-rerank paths can return them when one is a true nearest neighbor
+        seed_d = jnp.asarray(medoid_dist).reshape(q, p)
+        wl_dist = wl_dist.at[:, :p].set(seed_d)
+        wl_ids = wl_ids.at[:, :p].set(entries)
+        wl_vis = wl_vis.at[:, :p].set(True)
+    parents = jnp.zeros((q, beam), dtype=jnp.int32).at[:, :p].set(entries)
+    parent_valid = jnp.zeros((q, beam), dtype=jnp.bool_).at[:, :p].set(True)
     visited = jnp.full((q, max_iters * beam), INVALID_ID, dtype=jnp.int32)
-    visited = visited.at[:, 0].set(entry)
+    visited = visited.at[:, :p].set(entries)
     bloom = None
     if use_bloom:
         bloom = bloom_insert(
             jnp.zeros((q, BF_ENTRIES), jnp.uint8),
-            entry[:, None],
-            jnp.ones((q, 1), jnp.bool_),
+            entries,
+            jnp.ones((q, p), jnp.bool_),
         )
     active = jnp.ones((q,), jnp.bool_)
     zero = jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0)
@@ -198,21 +208,31 @@ def run_traversal(
     use_bloom: bool,
     beam: int = 1,
     entry_ids=None,
+    entry_dists=None,
 ) -> TraversalState:
     """Run the full on-device while_loop; returns the final state.
 
-    entry_ids [Q] (optional): per-query entry points replacing the shared
-    medoid (sampled-entry mode — see models/entry.py). The reference always
-    enters at the medoid (bang_search.cu:466-506); starting nearer saves
-    traversal iterations, the workload's unit of cost.
+    entry_ids [Q] or [Q, P<=beam] (optional): per-query entry points
+    replacing the shared medoid (sampled-entry mode — see models/entry.py);
+    [Q, P] seeds P beam slots with diverse entries. entry_dists (same shape)
+    supplies their worklist-seed distances; REQUIRED with entry_ids — the
+    shared-medoid seed_fn trick below assumes one entry node for all
+    queries. The reference always enters at the medoid
+    (bang_search.cu:466-506); starting nearer saves traversal iterations,
+    the workload's unit of cost.
     """
     step = make_step(adj, distance_fn, use_bloom, beam)
-    entry = jnp.full((q,), medoid, jnp.int32) if entry_ids is None else entry_ids
-    # one-off entry-point distance: use the plain-XLA path when the distance
-    # fn provides one (the Pallas kernel is built for wide candidate batches)
-    seed_fn = getattr(distance_fn, "seed_fn", distance_fn)
-    medoid_dist = seed_fn(entry[:, None], None)[:, 0]
-    state = init_state(q, l, max_iters, entry, use_bloom, beam, medoid_dist)
+    if entry_ids is None:
+        entry = jnp.full((q, 1), medoid, jnp.int32)
+        # one-off entry-point distance: the plain-XLA path when the distance
+        # fn provides one (the Pallas kernel is built for wide batches, and
+        # its seed_fn exploits that all queries share this one node)
+        seed_fn = getattr(distance_fn, "seed_fn", distance_fn)
+        entry_dists = seed_fn(entry, None)
+    else:
+        entry = entry_ids if entry_ids.ndim == 2 else entry_ids[:, None]
+        assert entry_dists is not None, "entry_ids requires entry_dists"
+    state = init_state(q, l, max_iters, entry, use_bloom, beam, entry_dists)
     return jax.lax.while_loop(
         lambda s: (s.it < max_iters) & s.active.any(),
         step,

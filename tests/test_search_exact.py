@@ -160,7 +160,10 @@ def test_sampled_entry_mode_inmemory(tiny_index):
     index = device_index_from_files(prefix, variant="inmemory")
     queries = load_bin(prefix + "_query.bin", np.float32)
     gt_ids, gt_dists = load_truthset(prefix + "_gt.bin")
-    samp = SearchParams(L=32, k=10, entry_mode="sampled", entry_samples=256)
+    # beam_width=2 also exercises the multi-entry seeding (top-2 sampled
+    # entries fill both beam slots at init)
+    samp = SearchParams(L=32, k=10, entry_mode="sampled", entry_samples=256,
+                        beam_width=2)
     ids, _, stats = search_inmemory(index, queries, samp)
     recall = calculate_recall(gt_ids, np.asarray(ids), 10, gt_dists)
     assert recall >= 90.0, recall
