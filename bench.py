@@ -77,7 +77,45 @@ VARIANT_CONFIGS = {
 }
 
 
+# ---- in-process stall watchdog -------------------------------------------
+# A mid-bench tunnel wedge (in-flight RPC hangs forever) would otherwise
+# leave the driver with NO JSON line at all. log() doubles as the progress
+# heartbeat; a daemon thread dumps whatever sections completed and exits if
+# the heartbeat freezes. Threshold sits well above the worst legitimate gap
+# (a fresh big-shape compile through the tunnel: minutes, cached after).
+_RESULT: dict = {}
+_LAST_PROGRESS = [time.time()]
+_STALL_S = float(os.environ.get("BENCH_STALL_S", 1500))
+
+
+def _start_stall_watchdog():
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(30)
+            if time.time() - _LAST_PROGRESS[0] > _STALL_S:
+                partial = dict(_RESULT)
+                best = 0.0
+                for row in (partial.get("variants") or {}).values():
+                    if isinstance(row, dict):
+                        best = max(best, row.get("qps_pipelined") or row.get("qps") or 0.0)
+                partial.setdefault("metric", f"QPS@0.9recall10_synth{N // 1000}K_1chip")
+                partial.setdefault("unit", "qps")
+                partial["value"] = partial.get("value", best)
+                partial["vs_baseline"] = round(partial["value"] / BASELINE_QPS, 4)
+                partial["error"] = (
+                    f"bench stalled >{_STALL_S:.0f}s mid-run (tunnel wedge); "
+                    "partial results from completed sections"
+                )
+                print(json.dumps(partial), flush=True)
+                os._exit(4)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def log(msg):
+    _LAST_PROGRESS[0] = time.time()
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
@@ -534,6 +572,7 @@ def main():
         return
     import jax
 
+    _start_stall_watchdog()  # a wedged RPC mid-run still yields a JSON line
     # Wall-clock budget: secondary sections are skipped once exceeded so the
     # final JSON line ALWAYS prints (a run killed mid-sweep reports nothing).
     t_start = time.time()
@@ -557,7 +596,7 @@ def main():
     # sweeps (round-2's official number halved unexplained; reproduction
     # attempts showed clean ~190K both fresh and after an inmemory sweep —
     # see REGRESSION_r2.md — so the order is belt-and-braces)
-    results = {}
+    results = _RESULT.setdefault("variants", {})
     for variant in ("exactdistance", "inmemory"):
         results[variant] = sweep_variant(
             prefix, variant, queries, gt_ids, gt_dists, measure_serving=True
@@ -566,7 +605,8 @@ def main():
     best = max(eligible or results.values(), key=lambda r: r["qps"])
 
     headline_qps = best.get("qps_pipelined") or best["qps"]
-    result = {
+    result = _RESULT
+    result.update({
         "metric": f"QPS@0.9recall10_synth{N // 1000}K_1chip",
         "value": headline_qps,
         "unit": "qps",
@@ -585,7 +625,7 @@ def main():
         "graph": GRAPH,
         "variants": results,
         "backend": jax.default_backend(),
-    }
+    })
 
     # ---- scale row: 10M, scattered layouts ----
     if not FAST and not over_budget("scale10m"):
