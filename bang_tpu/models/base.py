@@ -54,18 +54,30 @@ class BaseState(NamedTuple):
 
 
 def _init_state(
-    q: int, l: int, max_iters: int, medoid: int, use_bloom: bool, beam: int = 1
+    q: int, l: int, max_iters: int, medoid, use_bloom: bool, beam: int = 1
 ) -> BaseState:
+    """medoid: scalar (shared entry), [Q] per-query entries, or [Q, P<=beam]
+    multi-entry beam seeds. Entry distances need no seeding here — the Base
+    step computes each parent's exact distance the moment its FP row arrives
+    from the host (see _step_core)."""
+    entries = jnp.asarray(medoid, jnp.int32)
+    if entries.ndim == 0:
+        entries = jnp.broadcast_to(entries, (q,))
+    if entries.ndim == 1:
+        entries = entries[:, None]
+    p = entries.shape[1]
+    assert p <= beam, f"entry seeds {p} exceed beam width {beam}"
     wl_dist, wl_ids, wl_vis = init_worklist(q, l)
-    parent_valid = jnp.zeros((q, beam), jnp.bool_).at[:, 0].set(True)
-    visited = jnp.full((q, max_iters * beam), INVALID_ID, jnp.int32).at[:, 0].set(medoid)
+    parent_valid = jnp.zeros((q, beam), jnp.bool_).at[:, :p].set(True)
+    visited = jnp.full((q, max_iters * beam), INVALID_ID, jnp.int32)
+    visited = visited.at[:, :p].set(entries)
     l2d = jnp.full((q, max_iters * beam), jnp.inf, jnp.float32)
     bloom = None
     if use_bloom:
         bloom = bloom_insert(
             jnp.zeros((q, BF_ENTRIES), jnp.uint8),
-            jnp.full((q, 1), medoid, jnp.int32),
-            jnp.ones((q, 1), jnp.bool_),
+            entries,
+            jnp.ones((q, p), jnp.bool_),
         )
     return BaseState(
         wl_dist, wl_ids, wl_vis, parent_valid, visited, l2d, bloom,
@@ -137,6 +149,40 @@ def _base_step(
     else:
         raw = pq_lookup(tables, codes[nbrs])
     return _step_core(state, nbrs, parent_fp, queries_f32, raw, use_bloom, beam)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "b"))
+def _sampled_entry_base(queries_f32, codes, codebook, n_samples, b):
+    """Per-query top-B entries for the Base variant, [Q, B] int32.
+
+    No full-precision vectors live on the device here (the Base split keeps
+    only PQ codes in HBM), so sample vectors are PQ-RECONSTRUCTED from their
+    codes and ranked by exact distance in the quantized space — one
+    [Q, m*dmax] x [m*dmax, S] MXU contraction, the same cost shape as
+    models/entry.py's selector."""
+    n = codes.shape[0]
+    s = int(min(n_samples, n))
+    stride = max(1, n // s)
+    ids = (jnp.arange(s, dtype=jnp.int32) * stride) % n
+    m = codebook.piv_chunks.shape[0]
+    recon = codebook.piv_chunks[
+        jnp.arange(m)[None, :], codes[ids].astype(jnp.int32)
+    ]  # [S, m, dmax]
+    qc = (queries_f32 - codebook.centroid)[:, codebook.dim_idx] * codebook.dim_mask
+    cross = jnp.einsum("qmd,smd->qs", qc, recon)
+    rs = (recon ** 2).sum(axis=(1, 2))
+    d = rs[None, :] - 2.0 * cross  # rank-only (|q|^2 constant per row)
+    if b == 1:
+        idx = jnp.argmin(d, axis=1)[:, None]
+    else:
+        _, idx = jax.lax.top_k(-d, min(b, s))
+    out = ids[idx]
+    if b > out.shape[1]:
+        out = jnp.concatenate(
+            [out, jnp.broadcast_to(out[:, :1], (out.shape[0], b - out.shape[1]))],
+            axis=1,
+        )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -249,17 +295,37 @@ class BaseVariantSearcher:
         beam = params.beam_width
         sub_q = [jnp.asarray(queries[s]) for s in slices]
         tables = [self._prepare_tables(sq, pq_impl) for sq in sub_q]
+        entries = [self.meta.medoid] * nb
+        if params.entry_mode == "sampled":
+            if self.codes is None:
+                # chunk-sharded subclass keeps codes off-device; entry
+                # selection over sharded codes is not wired — fall back
+                from bang_tpu.utils.logging import log_message
+
+                log_message("sampled entry not available with sharded codes; "
+                            "using medoid entry")
+            else:
+                entries = [
+                    _sampled_entry_base(
+                        sq, self.codes, self.codebook, params.entry_samples, beam
+                    )
+                    for sq in sub_q
+                ]
         states = [
             _init_state(
-                sq.shape[0], params.L, params.max_iters, self.meta.medoid, use_bloom, beam
+                sq.shape[0], params.L, params.max_iters, entries[i], use_bloom, beam
             )
-            for sq in sub_q
+            for i, sq in enumerate(sub_q)
         ]
         parents_host = [
             np.zeros((sq.shape[0], beam), dtype=np.int32) for sq in sub_q
         ]
-        for ph in parents_host:
-            ph[:, 0] = self.meta.medoid
+        for b_i, ph in enumerate(parents_host):
+            e = entries[b_i]
+            if getattr(e, "ndim", 0) >= 1:
+                ph[:, :] = np.asarray(e)  # [q_b, beam] D2H (small)
+            else:
+                ph[:, 0] = int(e)
         pending = [None] * nb  # (parents_dev, active_any_dev) in flight
         done = [False] * nb
         self.last_n_steps = 0  # device steps dispatched (all sub-batches)

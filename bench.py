@@ -447,7 +447,7 @@ def _traversal_gather_bytes_per_iter(index, variant, q, beam):
 
 
 def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
-               beam=2, extra=16, n_pipeline=8, mmap=True):
+               beam=2, extra=16, n_pipeline=8, mmap=True, entry_mode="medoid"):
     """Base-variant row: host-RAM (mmap) graph + device PQ — the reference's
     billion-scale configuration and its published headline (bang_search.cu:
     569-1068; Cost_Analysis.pdf p.2-3). Reports the honest wall QPS (tunnel-
@@ -466,7 +466,8 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
     searcher.timers.enabled = True
     row = None
     for L in grid:
-        params = SearchParams(L=L, k=K, beam_width=beam, extra_iters=extra)
+        params = SearchParams(L=L, k=K, beam_width=beam, extra_iters=extra,
+                              entry_mode=entry_mode)
         searcher.search(queries_np[:256], params)  # compile + warm
         t0 = time.perf_counter()
         ids, _dists = searcher.search(queries_np, params)
@@ -496,7 +497,8 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
         from bang_tpu.harness.serving import measure_base_device_step_ms
 
         q_sub = max(1, nq // n_pipeline)
-        params = SearchParams(L=row["L"], k=K, beam_width=beam, extra_iters=extra)
+        params = SearchParams(L=row["L"], k=K, beam_width=beam,
+                              extra_iters=extra, entry_mode=entry_mode)
         # n_chain must be large: one step is ~0.1-2 ms on device while the
         # per-call readback carries 15-35 ms of tunnel RPC jitter — a short
         # chain's slope drowns in that noise (measured: n_chain=9 returned

@@ -32,7 +32,19 @@ row = bench.sweep_base(
 )
 row["n_points"] = 100_000_000
 row["num_queries"] = Q
-row["graph"] = "sharded-vamana R=64 l_build=48 single-pass"
+row["graph"] = "sharded-vamana R=64 warm-started from the R=32 graph"
+# probe the sampled-entry extension at the chosen operating point (saves
+# host-loop steps: each one costs a host gather + RPC round trip)
+try:
+    row_s = bench.sweep_base(
+        PREFIX, queries, gt_ids[:Q], gt_dists[:Q],
+        grid=(row["L"],), beam=2, extra=24, mmap=False, entry_mode="sampled",
+    )
+    row["sampled_entry"] = {k: row_s.get(k) for k in
+                            ("recall", "qps_wall", "n_device_steps",
+                             "projected_pcie_qps", "device_step_ms")}
+except Exception as e:
+    row["sampled_entry"] = {"error": str(e)}
 with open(OUT, "w") as f:
     json.dump(row, f, indent=1)
 print("[100m-r64] " + json.dumps(row)[:400], flush=True)

@@ -84,3 +84,22 @@ def test_base_beam_recall(loaded):
     ids, _ = searcher.search(queries, SearchParams(L=64, k=10, beam_width=4))
     recall = calculate_recall(gt_ids, ids, 10, gt_dists)
     assert recall >= 90.0, f"base beam=4 recall@10: {recall}"
+
+def test_base_sampled_entry(loaded):
+    """Base-variant sampled entry (PQ-reconstructed sample ranking on
+    device): recall parity with the medoid start, fewer-or-equal device
+    steps, and the beam-seeded (top-B entries) path."""
+    searcher, queries, gt_ids, gt_dists = loaded
+    ids_m, _ = searcher.search(queries, SearchParams(L=48, k=10, beam_width=2))
+    steps_m = searcher.last_n_steps
+    r_m = calculate_recall(gt_ids, ids_m, 10, gt_dists)
+    ids_s, _ = searcher.search(
+        queries,
+        SearchParams(L=48, k=10, beam_width=2, entry_mode="sampled",
+                     entry_samples=256),
+    )
+    steps_s = searcher.last_n_steps
+    r_s = calculate_recall(gt_ids, ids_s, 10, gt_dists)
+    assert r_s >= r_m - 1.5, (r_m, r_s)
+    assert steps_s <= steps_m, (steps_m, steps_s)
+
