@@ -4,6 +4,7 @@
 # and the 2M calibration numbers look sane. Override L_BUILD via env if the
 # calibration projects past the wall budget.
 set -u
+mkdir -p /tmp/tpu_pids; echo $$ > /tmp/tpu_pids/queue_b_$$.pid
 cd /root/repo
 LOG=/tmp/phaseB.log
 : > "$LOG"

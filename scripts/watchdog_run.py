@@ -48,6 +48,22 @@ def kill_group(proc):
 
 
 def main():
+    # Register for external disarm (end-of-round cleanup kills recorded PIDs
+    # only — never pattern matches) and make SIGTERM take the child's whole
+    # process group down with us (the child runs in its own session, so a
+    # plain kill of the watchdog would orphan a TPU-holding build).
+    os.makedirs("/tmp/tpu_pids", exist_ok=True)
+    with open(f"/tmp/tpu_pids/watchdog_{os.getpid()}.pid", "w") as f:
+        f.write(str(os.getpid()))
+    current = {"proc": None}
+
+    def on_term(signum, frame):
+        if current["proc"] is not None:
+            kill_group(current["proc"])
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True)
     ap.add_argument("--stall", type=float, default=420.0,
@@ -67,6 +83,7 @@ def main():
     restarts = 0
     while True:
         proc, log_f = launch(cmd, args.log)
+        current["proc"] = proc
         while True:
             rc = proc.poll()
             if rc is not None:
