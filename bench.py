@@ -715,10 +715,21 @@ def main():
             # mmap=False: the packed graph (26-39 GB) fits host RAM (the
             # reference's own configuration, bang_search.cu:311-328),
             # avoiding page-fault-bound host gathers.
-            result["base100m"] = sweep_base(
+            row100 = sweep_base(
                 p100, q100, g100i[:Q], g100d[:Q],
                 grid=grid100, beam=2, extra=24, mmap=False,
             )
+            result["base100m"] = row100
+            if row100 and row100.get("recall", 0) < TARGET_RECALL and not \
+                    over_budget("base100m_tuned"):
+                # last-L fell short (e.g. the R=32 graph converges at 89.75
+                # @ MAX_L): push with sampled entries + a wider beam at the
+                # same L before conceding the target
+                result["base100m_tuned"] = sweep_base(
+                    p100, q100, g100i[:Q], g100d[:Q],
+                    grid=(row100["L"],), beam=4, extra=48, mmap=False,
+                    entry_mode="sampled",
+                )
         except Exception as e:  # pragma: no cover
             log(f"base100m failed: {e}")
             result["base100m"] = {"error": str(e)}
