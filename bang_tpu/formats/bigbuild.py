@@ -452,6 +452,18 @@ def build_sharded_vamana(
                 # edges are compacted to the row front (the builder's
                 # reverse-edge slot arithmetic assumes real-edges-first).
                 g_rows = init_adj[member_ids]  # [n_s, r_in] global ids
+                if init_deg is not None:
+                    # Padding slots (>= true degree) hold zeros when the seed
+                    # was extracted from a packed _disk.bin; left in place
+                    # they'd map to real edges to node 0 in the shards that
+                    # contain it. Turn them into self-ids so the self-edge
+                    # mask below strips them.
+                    d_rows = init_deg[member_ids].astype(np.int32)
+                    pad = (np.arange(g_rows.shape[1], dtype=np.int32)[None, :]
+                           >= d_rows[:, None])
+                    g_rows = np.where(pad, member_ids[:, None].astype(np.int32),
+                                      g_rows)
+                    del d_rows, pad
                 loc = np.searchsorted(member_ids, g_rows)
                 loc = np.minimum(loc, n_s - 1).astype(np.int32)
                 # a source row's self-padding entries (own global id) map to

@@ -237,6 +237,11 @@ def build_vamana_graph(
         adj = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
         adj[:, :r_in] = adj0
         degrees = np.minimum(deg0.astype(np.int32), r_in)
+        # Enforce the convention regardless of what the caller passed: slots
+        # >= degree become self-padding (packed _disk.bin rows are ZERO-padded
+        # — leaving those zeros in would add spurious edges to node 0).
+        pad = np.arange(r, dtype=np.int32)[None, :] >= degrees[:, None]
+        np.copyto(adj, np.arange(n, dtype=np.int32)[:, None], where=pad)
     else:
         # start at half degree: the slack absorbs reverse-edge appends so
         # that only overflowing nodes need a device re-prune (DiskANN's

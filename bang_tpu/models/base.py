@@ -232,6 +232,7 @@ class BaseVariantSearcher:
         self.n_pipeline_batches = n_pipeline_batches
         self.n_threads = n_threads
         self.timers = StageTimers(enabled=False)
+        self._d2h_async = True  # cleared on first copy_to_host_async failure
 
     def _prepare_tables(self, sub_queries, pq_impl):
         """Per-sub-batch PQ distance tables (packed for the Pallas kernel)."""
@@ -247,6 +248,26 @@ class BaseVariantSearcher:
             state, nbrs, parent_fp, queries_f32, tables, self.codes,
             use_bloom, pq_impl, beam,
         )
+
+    def _select_entries(self, sub_q, tables, params, beam, pq_impl):
+        """Per-sub-batch entry points: the shared medoid, or per-query
+        sampled entries (overridden by the chunk-sharded variant, which runs
+        the selection as a distributed PQ lookup + psum)."""
+        nb = len(sub_q)
+        if params.entry_mode != "sampled":
+            return [self.meta.medoid] * nb
+        if self.codes is None:
+            from bang_tpu.utils.logging import log_message
+
+            log_message("sampled entry needs device-resident codes; "
+                        "using medoid entry")
+            return [self.meta.medoid] * nb
+        return [
+            _sampled_entry_base(
+                sq, self.codes, self.codebook, params.entry_samples, beam
+            )
+            for sq in sub_q
+        ]
 
     def _host_gather(self, parents: np.ndarray):
         return gather_parents(
@@ -295,22 +316,7 @@ class BaseVariantSearcher:
         beam = params.beam_width
         sub_q = [jnp.asarray(queries[s]) for s in slices]
         tables = [self._prepare_tables(sq, pq_impl) for sq in sub_q]
-        entries = [self.meta.medoid] * nb
-        if params.entry_mode == "sampled":
-            if self.codes is None:
-                # chunk-sharded subclass keeps codes off-device; entry
-                # selection over sharded codes is not wired — fall back
-                from bang_tpu.utils.logging import log_message
-
-                log_message("sampled entry not available with sharded codes; "
-                            "using medoid entry")
-            else:
-                entries = [
-                    _sampled_entry_base(
-                        sq, self.codes, self.codebook, params.entry_samples, beam
-                    )
-                    for sq in sub_q
-                ]
+        entries = self._select_entries(sub_q, tables, params, beam, pq_impl)
         states = [
             _init_state(
                 sq.shape[0], params.L, params.max_iters, entries[i], use_bloom, beam
@@ -329,23 +335,35 @@ class BaseVariantSearcher:
         pending = [None] * nb  # (parents_dev, active_any_dev) in flight
         done = [False] * nb
         self.last_n_steps = 0  # device steps dispatched (all sub-batches)
+        self.last_n_d2h = 0  # blocking host-link round trips (readbacks)
 
         # Software pipeline: the host gather for sub-batch b overlaps the
         # device step of the other sub-batches (async JAX dispatch).
+        #
+        # Readbacks are STACKED: all in-flight sub-batches' next parents come
+        # home in ONE batched device_get per outer iteration (plus an async
+        # D2H started right after each dispatch), not one blocking readback
+        # per sub-batch — per-RPC host-link latency (~30 ms through a dev
+        # tunnel) is the serial term the reference hides with speculative
+        # prefetch (bang_search.cu:1384-1521), and it divides by the batch.
+        # Device steps per round trip = last_n_steps / last_n_d2h ≈ nb.
         for it in range(1, params.max_iters):
-            progressed = False
-            for b in range(nb):
+            live = [b for b in range(nb) if not done[b]]
+            if not live:
+                break
+            in_flight = [b for b in live if pending[b] is not None]
+            if in_flight:
+                with self.timers.stage("d2h_parents"):
+                    fetched = jax.device_get([pending[b] for b in in_flight])
+                    self.last_n_d2h += 1
+                for b, (par, act) in zip(in_flight, fetched):
+                    parents_host[b] = np.asarray(par)
+                    pending[b] = None
+                    if not bool(act):
+                        done[b] = True
+            for b in live:
                 if done[b]:
                     continue
-                if pending[b] is not None:
-                    parents_dev, active_dev = pending[b]
-                    with self.timers.stage("d2h_parents"):
-                        parents_host[b] = np.asarray(parents_dev)
-                        active_any = bool(active_dev)
-                    pending[b] = None
-                    if not active_any:
-                        done[b] = True
-                        continue
                 with self.timers.stage("host_gather"):
                     nbrs, fp = self._host_gather(parents_host[b].reshape(-1))
                 q_b = parents_host[b].shape[0]
@@ -360,11 +378,17 @@ class BaseVariantSearcher:
                         pq_impl,
                         beam,
                     )
+                    # start the D2H of the step's outputs NOW so the transfer
+                    # overlaps the host gathers of the other sub-batches and
+                    # the batched device_get above finds the bytes staged
+                    if self._d2h_async:
+                        try:
+                            parents_dev.copy_to_host_async()
+                            active_dev.copy_to_host_async()
+                        except Exception:  # backend without async D2H
+                            self._d2h_async = False
                 pending[b] = (parents_dev, active_dev)
                 self.last_n_steps += 1
-                progressed = True
-            if not progressed:
-                break
         # drain in-flight steps
         for b in range(nb):
             if pending[b] is not None:

@@ -68,6 +68,59 @@ def make_base_step_tp(mesh: Mesh, pq_impl: str = "xla"):
     return step_tp
 
 
+def make_sampled_entry_tp(mesh: Mesh, pq_impl: str = "xla"):
+    """Chunk-sharded sampled-entry selector (models/base._sampled_entry_base
+    for code matrices that don't fit one chip).
+
+    Ranking samples by PQ distance IS a PQ lookup: d[q, s] = sum over chunks
+    of table[q, c, codes[s, c]] — so the selector reuses the step's
+    distributed machinery verbatim (per-shard partial lookup over the chip's
+    chunk slice, one psum over ICI), then a replicated top-B picks the
+    entries. Communication: one [Q, S_samples] f32 reduction per search.
+    """
+    assert pq_impl in ("xla", "pallas", "pallas_interp"), pq_impl
+
+    @functools.partial(jax.jit, static_argnames=("n_samples", "b"))
+    def entry_tp(tables_sharded, codes_sharded, n_samples, b):
+        n = codes_sharded.shape[1]
+        q = tables_sharded.shape[1]
+        s_n = int(min(n_samples, n))
+        stride = max(1, n // s_n)
+        ids = (jnp.arange(s_n, dtype=jnp.int32) * stride) % n
+        cand = jnp.broadcast_to(ids[None, :], (q, s_n))
+
+        def partial_lookup(tables, codes, cand):
+            local = codes[0][cand]  # [Q, S_samples, m_local]
+            if pq_impl == "xla":
+                part = pq_lookup(tables[0], local)
+            else:
+                part = pq_lookup_packed(
+                    tables[0], local, interpret=(pq_impl == "pallas_interp")
+                )
+            return jax.lax.psum(part, "model")
+
+        d = jax.shard_map(
+            partial_lookup,
+            mesh=mesh,
+            in_specs=(P("model"), P("model"), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tables_sharded, codes_sharded, cand)
+        if b == 1:
+            idx = jnp.argmin(d, axis=1)[:, None]
+        else:
+            _, idx = jax.lax.top_k(-d, min(b, s_n))
+        out = ids[idx]
+        if b > out.shape[1]:
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(out[:, :1], (out.shape[0], b - out.shape[1]))],
+                axis=1,
+            )
+        return out
+
+    return entry_tp
+
+
 class ShardedBaseSearcher(BaseVariantSearcher):
     """BaseVariantSearcher with codes/tables chunk-sharded over `mesh`.
 
@@ -96,6 +149,7 @@ class ShardedBaseSearcher(BaseVariantSearcher):
             shard_codes_by_chunk(codes_np, s), NamedSharding(mesh, P("model"))
         )
         self._steps = {}  # pq_impl -> compiled chunk-sharded step
+        self._entry_fns = {}  # pq_impl -> compiled chunk-sharded entry selector
 
     @staticmethod
     def _resolve_impl(pq_impl):
@@ -118,6 +172,17 @@ class ShardedBaseSearcher(BaseVariantSearcher):
         return jax.device_put(
             shard_tables_by_chunk(t, s), NamedSharding(self.mesh, P("model"))
         )
+
+    def _select_entries(self, sub_q, tables, params, beam, pq_impl):
+        if params.entry_mode != "sampled":
+            return super()._select_entries(sub_q, tables, params, beam, pq_impl)
+        impl = self._resolve_impl(pq_impl)
+        fn = self._entry_fns.get(impl)
+        if fn is None:
+            fn = self._entry_fns[impl] = make_sampled_entry_tp(self.mesh, impl)
+        return [
+            fn(t, self.codes_sharded, params.entry_samples, beam) for t in tables
+        ]
 
     def _run_step(self, state, nbrs, parent_fp, queries_f32, tables,
                   use_bloom, pq_impl, beam):

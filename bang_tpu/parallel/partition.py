@@ -38,6 +38,10 @@ class ShardedIndex(NamedTuple):
     # neighbor-aligned code rows (the tuned single-chip gather layout,
     # models/index.py nbr_codes), so the sharded path runs at the same op
     # point as one chip
+    fused_rows: Optional[np.ndarray] = None  # [S, n_loc, R*(4+m)] u8 —
+    # per-shard fused frontier rows (ids + codes in ONE gather/parent, the
+    # single-chip preferred layout when R % 64 == 0; local ids, offset by
+    # id_base at merge)
 
     @property
     def n_shards(self) -> int:
@@ -55,6 +59,7 @@ def build_sharded_index(
     m: int | None = 16,
     seed: int = 0,
     neighbor_codes: bool = False,
+    fused_frontier: bool = False,
 ) -> ShardedIndex:
     """Partition `vectors` contiguously into `n_shards` sub-indices.
 
@@ -91,6 +96,15 @@ def build_sharded_index(
         nbr_codes = np.stack(
             [codes_sh[s][adj[s]].reshape(n_loc, -1) for s in range(n_shards)]
         )
+    fused_rows = None
+    if fused_frontier and codes_sh is not None:
+        from bang_tpu.ops.pq_pallas import pack_frontier_rows
+
+        # per-shard fused rows carry LOCAL neighbor ids (adj is shard-local);
+        # search_sharded offsets the merged top-k by id_base
+        fused_rows = np.stack(
+            [pack_frontier_rows(adj[s], codes_sh[s]) for s in range(n_shards)]
+        )
     return ShardedIndex(
         adj=adj,
         vectors=vectors.reshape(n_shards, n_loc, -1),
@@ -100,4 +114,5 @@ def build_sharded_index(
         medoids=medoids,
         id_base=(np.arange(n_shards, dtype=np.int32) * n_loc),
         nbr_codes=nbr_codes,
+        fused_rows=fused_rows,
     )

@@ -42,21 +42,23 @@ def make_mesh(data: int, model: int, devices=None) -> Mesh:
 
 
 def _local_search(
-    adj, vectors, norms, codes, nbr_codes, codebook, medoid, id_base, queries,
+    adj, vectors, norms, codes, nbr_codes, fused_rows, codebook, medoid,
+    id_base, queries,
     *, l, k, max_iters, use_bloom, beam=1, pq_impl="auto", rerank=True,
 ):
     """Search one shard for one query slice; returns global-id top-k.
 
-    Runs the same tuned configuration as the single-chip engines: the
-    neighbor-aligned nbr_codes layout (when the sharded index carries it) and
-    the requested pq_impl flow through to make_pq_distance_fn, and rerank is
-    honored instead of being forced on.
+    Runs the same tuned configuration as the single-chip engines: the fused
+    frontier rows / neighbor-aligned nbr_codes layouts (when the sharded
+    index carries them) and the requested pq_impl flow through to
+    make_pq_distance_fn, and rerank is honored instead of being forced on.
     """
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
     if codes is not None:
         distance_fn = make_pq_distance_fn(
-            queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes
+            queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
+            fused_rows=fused_rows,
         )
     else:
         distance_fn = make_exact_distance_fn(queries_f32, vectors, norms)
@@ -87,7 +89,8 @@ def search_sharded(
     assert si.n_shards == n_model, (si.n_shards, n_model)
     use_bloom = params.visited_mode == "bloom"
 
-    def per_device(adj, vectors, norms, codes, nbr_codes, medoids, id_base, queries):
+    def per_device(adj, vectors, norms, codes, nbr_codes, fused_rows, medoids,
+                   id_base, queries):
         # leading shard axis is size 1 inside the shard_map body
         ids, dists = _local_search(
             adj[0],
@@ -95,6 +98,7 @@ def search_sharded(
             norms[0],
             None if codes is None else codes[0],
             None if nbr_codes is None else nbr_codes[0],
+            None if fused_rows is None else fused_rows[0],
             si.codebook,
             medoids[0],
             id_base[0],
@@ -118,6 +122,7 @@ def search_sharded(
 
     shard_spec = P("model")
     nbr_codes = getattr(si, "nbr_codes", None)
+    fused_rows = getattr(si, "fused_rows", None)
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
@@ -125,6 +130,7 @@ def search_sharded(
             P("model"), P("model"), P("model"),
             None if si.codes is None else P("model"),
             None if nbr_codes is None else P("model"),
+            None if fused_rows is None else P("model"),
             shard_spec, shard_spec, P("data"),
         ),
         out_specs=(P("data"), P("data")),
@@ -136,6 +142,7 @@ def search_sharded(
         jnp.asarray(si.vector_norms),
         None if si.codes is None else jnp.asarray(si.codes),
         None if nbr_codes is None else jnp.asarray(nbr_codes),
+        None if fused_rows is None else jnp.asarray(fused_rows),
         jnp.asarray(si.medoids),
         jnp.asarray(si.id_base),
         jnp.asarray(queries),

@@ -55,18 +55,22 @@ del raw
 log("vectors extracted from packed source")
 
 if not os.path.exists(DST + "_disk.bin"):
-    # Warm start from the source bundle's R=64 graph: robust-prune emits
-    # edges in greedy nearest-first order, so the first 32 columns of each
-    # row are the highest-priority edges — a better-than-random seed that
-    # the warm pass then re-prunes at R=32 (formats/vamana.py init=).
+    # Warm start from the source bundle's R=64 graph. The packed _disk.bin
+    # stores each row's valid edges sorted ascending BY ID with zero padding
+    # after (formats/graph.py save_graph_index) — so taking the first R
+    # columns keeps an arbitrary (smallest-id) R-subset of real edges, not a
+    # nearest-first prefix. That's still a far-better-than-random seed: every
+    # kept entry is a true pruned edge, and the warm pass re-prunes at R=32
+    # anyway (formats/vamana.py init=). Padding slots are rewritten to
+    # self-ids, the convention build_vamana_graph's init path expects.
     rec = np.dtype([("vec", np.uint8, d), ("deg", np.uint32),
                     ("nbr", np.int32, (meta.entry_len - d - 4) // 4)])
     mm = np.memmap(SRC + "_disk.bin", dtype=rec, mode="r", shape=(n,))
     init_adj = np.ascontiguousarray(mm["nbr"][:, :R])
     init_deg = np.minimum(mm["deg"], R).astype(np.int32)
-    # truncated self-padding: slots >= deg hold the own id already; rows
-    # whose true degree exceeded R are full, nothing to fix
-    del mm
+    pad = np.arange(R, dtype=np.int32)[None, :] >= init_deg[:, None]
+    np.copyto(init_adj, np.arange(n, dtype=np.int32)[:, None], where=pad)
+    del mm, pad
     log("warm seed extracted from source R=64 graph")
     adj, degrees, medoid = build_vamana_graph(
         data, r=R, l_build=L_BUILD, alpha=1.44, batch=BATCH, seed=3,

@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-4 TPU queue: strictly-serial device jobs (the tunnel is EXCLUSIVE —
+# a second concurrent JAX client blocks forever). Order per the round-3
+# close roadmap (PROGRESS.md "Round 4/5 candidates"):
+#   0. wait for the (possibly wedged) tunnel to come back
+#   A1. build the HBM-budget-tuned 10M bundle (R=32 graph + m=32 PQ)
+#   A2. sweep it on-chip -> SCALE10M_TUNED json
+#   B1. warm-started R=64 100M rebuild (DiskANN-quality degree)
+#   B2. 100M R=64 Base-variant sweep -> BASE100M_R64.json
+# Budgets adapt to the time left before DISARM (21:00 UTC) so the driver's
+# end-of-round bench window finds an idle TPU; a build killed mid-way still
+# leaves per-shard checkpoints for the next phase/round.
+set -u
+mkdir -p /tmp/tpu_pids; echo $$ > /tmp/tpu_pids/queue_r4.pid
+cd /root/repo
+LOG=/tmp/queue_r4.log
+: > "$LOG"
+DISARM=$(date -d "2026-08-18 21:00:00 UTC" +%s)
+
+left() { echo $(( DISARM - $(date +%s) )); }
+
+echo "[r4] queue start $(date) left=$(left)s" >>"$LOG"
+while true; do
+  [ "$(left)" -lt 600 ] && { echo "[r4] DISARM reached while probing" >>"$LOG"; exit 9; }
+  if timeout 300 python -c "import jax, jax.numpy as jnp; print(float((jnp.ones((8,128))@jnp.ones((128,8))).sum()))" >>"$LOG" 2>&1; then
+    echo "[r4] TPU BACK $(date)" >>"$LOG"; break
+  fi
+  echo "[r4] tunnel still down $(date)" >>"$LOG"
+  sleep 60
+done
+
+# ---- Phase A: tuned 10M ----
+if [ ! -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
+  B=$(( $(left) - 23400 )); [ "$B" -gt 9000 ] && B=9000; [ "$B" -lt 3600 ] && B=3600
+  python scripts/watchdog_run.py --log /tmp/build10m_tuned.log --stall 420 \
+    --budget "$B" -- python -u scripts/build_10m_tuned.py \
+    || echo "[r4] 10M BUILD FAILED (continuing to B)" >>"$LOG"
+  echo "[r4] 10M tuned build exit=$? $(date) left=$(left)s" >>"$LOG"
+fi
+if [ -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
+  python scripts/watchdog_run.py --log /tmp/run10m_tuned.log --stall 600 \
+    --budget 4500 -- python -u scripts/run_eval.py \
+      --prefix bench_data/synth_v2_n10000000_d128_r32_m32_vamana \
+      --queries-from bench_data/synth_v2_n10000000_d128_r64_m64_vamana \
+      --variant inmemory --grid 14 16 20 25 30 40 60 90 --refine \
+      --neighbor-codes --out SCALE10M_TUNED_r04.json \
+      --note "HBM-budget-tuned 10M: R=32 graph + m=32 PQ, nbr_codes layout" \
+    || echo "[r4] 10M SWEEP FAILED" >>"$LOG"
+  echo "[r4] 10M tuned sweep exit=$? $(date) left=$(left)s" >>"$LOG"
+fi
+
+# ---- Phase B: 100M R=64 warm rebuild ----
+BUILD_BUDGET=$(( $(left) - 6300 ))
+if [ "$BUILD_BUDGET" -lt 3600 ]; then
+  echo "[r4] skipping 100M R64 build: only $(left)s left" >>"$LOG"
+else
+  B100_R=64 B100_M=32 B100_SHARDS=8 B100_LBUILD=40 \
+  B100_WARM=/root/repo/bench_data/synthg_v1_n100000000_d128_r32_m32_shardvamana \
+  B100_REUSE=/root/repo/bench_data/synthg_v1_n100000000_d128_r32_m32_shardvamana \
+  python scripts/watchdog_run.py --log /tmp/build100m_r64.log --stall 420 \
+    --budget "$BUILD_BUDGET" -- python -u scripts/build_100m.py \
+    || { echo "[r4] 100M R64 BUILD FAILED/TIMED OUT $(date)" >>"$LOG"; exit 1; }
+  echo "[r4] 100M R=64 build done $(date) left=$(left)s" >>"$LOG"
+  python scripts/watchdog_run.py --log /tmp/run100m_r64.log --stall 600 \
+    --budget 5400 -- python -u scripts/run_eval.py \
+      --prefix bench_data/synthg_v1_n100000000_d128_r64_m32_shardvamana \
+      --variant base --grid 40 60 100 150 220 --beam 2 --extra 24 \
+      --no-mmap --probe-sampled-entry --out BASE100M_R64.json \
+      --note "sharded-vamana R=64 warm-started from the round-3 R=32 graph" \
+    || { echo "[r4] 100M R64 SWEEP FAILED" >>"$LOG"; exit 2; }
+fi
+echo "[r4] QUEUE COMPLETE $(date)" >>"$LOG"

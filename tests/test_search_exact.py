@@ -187,3 +187,39 @@ def test_sampled_entry_ids_unit():
     want = sample[np.argmin(d, axis=1)]
     np.testing.assert_array_equal(got, want)
 
+
+
+def test_seeded_entry_survives_to_rerank():
+    """An entry seed that IS a true top-k neighbor must be returnable by the
+    rerank path: init_state keeps the seeds in visited_ids[:, :beam] and the
+    first loop iteration (it starts at 1) writes AFTER them, so exact_new_mask
+    blocking the seeds' rediscovery loses nothing (round-3 advisor concern)."""
+    import jax.numpy as jnp
+
+    from bang_tpu.models.traversal import (
+        make_exact_distance_fn, rerank_topk, run_traversal,
+    )
+
+    rng = np.random.default_rng(42)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    # queries placed ON sample points: the seeded entry IS the true NN
+    q_ids = np.asarray([7, 133, 250], np.int32)
+    qs = vecs[q_ids] + 1e-4
+    norms = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    adj = rng.integers(0, n, size=(n, 8)).astype(np.int32)
+
+    vecs_j, qs_j = jnp.asarray(vecs), jnp.asarray(qs)
+    dfn = make_exact_distance_fn(qs_j, vecs_j, jnp.asarray(norms))
+    entry_ids = jnp.asarray(q_ids)[:, None]  # [Q, 1] seeds
+    entry_dists = ((qs - vecs[q_ids]) ** 2).sum(-1)[:, None]
+    final = run_traversal(
+        jnp.asarray(adj), dfn, medoid=0, q=3, l=16, max_iters=8,
+        use_bloom=False, beam=1,
+        entry_ids=entry_ids, entry_dists=jnp.asarray(entry_dists),
+    )
+    # the seeds must still sit in the visited set...
+    assert (np.asarray(final.visited_ids[:, 0]) == q_ids).all()
+    # ...and the rerank top-1 must be exactly the seeded true NN
+    ids, _ = rerank_topk(qs_j, vecs_j, jnp.asarray(norms), final.visited_ids, 1)
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], q_ids)
