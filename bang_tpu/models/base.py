@@ -285,9 +285,13 @@ class BaseVariantSearcher:
         """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32).
 
         Stage-timer semantics (per-search, enabled via ENABLE_GPU_STATS):
-          host_gather  — pure host work: threaded adjacency + FP row fetch
-          d2h_parents  — blocking readback of next parents (includes waiting
-                         for that sub-batch's device step to finish)
+          host_gather  — host work: threaded adjacency + FP row fetch (on a
+                         single-core host this wall also absorbs CPU stolen
+                         by concurrent transfer serialization — see the
+                         bench's host_gather_pure_ms calibration)
+          d2h_parents  — ONE batched readback of all in-flight sub-batches'
+                         next parents per outer iteration (includes waiting
+                         for the slowest sub-batch's device step)
           dispatch     — H2D staging + async device-step enqueue
           wall         — end-to-end search wall clock
         Overlap proof: host_gather + d2h_parents + dispatch > wall means the
@@ -396,10 +400,14 @@ class BaseVariantSearcher:
 
         ids = np.empty((q_total, params.k), np.int32)
         dists = np.empty((q_total, params.k), np.float32)
+        # dispatch every finish first, then ONE batched readback (2*nb
+        # blocking transfers would pay the host-link RPC latency each)
+        finished = [_base_finish(states[b], params.k) for b in range(nb)]
+        finished = jax.device_get(finished)
         for b, s in enumerate(slices):
-            i_b, d_b = _base_finish(states[b], params.k)
-            ids[s] = np.asarray(i_b)
-            dists[s] = np.asarray(d_b)
+            i_b, d_b = finished[b]
+            ids[s] = i_b
+            dists[s] = d_b
         if t_wall is not None:
             import time as _time
 

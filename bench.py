@@ -522,6 +522,22 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
         row["projected_pcie_qps"] = round(
             nq / (max(device_total_ms, host_ms) / 1000.0), 1
         )
+        # The in-loop host_gather stage wall is INFLATED on this box: the
+        # tunnel's transfer serialization steals the single CPU core while
+        # the gather runs (measured: the gather alone is ~0.3 ms/sub-batch
+        # at 100M shapes vs ~29 ms in-loop). Calibrate the pure gather on a
+        # fixed batch and attach the honest real-host projection.
+        par = np.random.default_rng(0).integers(
+            0, searcher.meta.n, q_sub * beam).astype(np.int32)
+        searcher._host_gather(par)  # warm
+        t0 = time.perf_counter()
+        for _ in range(10):
+            searcher._host_gather(par)
+        pure_ms = (time.perf_counter() - t0) / 10 * 1000.0
+        row["host_gather_pure_ms"] = round(pure_ms, 3)
+        row["projected_pcie_qps_pure_host"] = round(
+            nq / (max(device_total_ms, pure_ms * n_steps) / 1000.0), 1
+        )
     except Exception as e:  # pragma: no cover
         log(f"base device-step probe failed: {e}")
     if searcher.codes is not None:

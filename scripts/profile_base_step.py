@@ -108,6 +108,43 @@ def main():
             0, nn, body, (jnp.zeros((q, c), jnp.float32), cand0))
         return dd.sum()
 
+    # fused frontier rows (the inmemory hot path): ONE gather per parent
+    # yields ids + PQ distances (ops/pq_pallas.frontier_lookup)
+    run_frontier = None
+    if r % 64 == 0:
+        from bang_tpu.ops.pq_pallas import (
+            frontier_decode_xla, frontier_lookup, pack_frontier_rows,
+        )
+
+        # smaller node count for the packed table (n x r x (4+m) bytes would
+        # be 10x the code matrix); gather cost is row-count bound, not
+        # table-size bound, so n/10 nodes keep the measurement representative
+        adj_small = rng.integers(0, n // 10, size=(n // 10, r), dtype=np.int32)
+        codes_small = rng.integers(0, 256, size=(n // 10, m), dtype=np.uint8)
+        frows = jnp.asarray(pack_frontier_rows(adj_small, codes_small))
+        parents0 = jnp.asarray(
+            rng.integers(0, n // 10, size=(q, beam), dtype=np.int32))
+        jax.device_get(frows[0, 0])
+        tbl = pq_distance_tables(cb, queries)
+        ftab = pack_tables(tbl) if on_tpu else tbl
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def _run_frontier_jit(nn, ftab, frows, p0):
+            def body(i, carry):
+                dd, p = carry
+                rows = frows[p]
+                if on_tpu:
+                    ids, d2 = frontier_lookup(ftab, rows, m, r, beam)
+                else:
+                    ids, d2 = frontier_decode_xla(ftab, rows, m, r, beam)
+                return (d2, rolled(p0, d2))
+            dd, _ = jax.lax.fori_loop(
+                0, nn, body, (jnp.zeros((q, c), jnp.float32), p0))
+            return dd.sum()
+
+        def run_frontier(nn):
+            return _run_frontier_jit(nn, ftab, frows, parents0)
+
     def profile_at(l):
         mi = (l + args.extra)
         w = mi * beam
@@ -156,6 +193,8 @@ def main():
         row = {
             "lookup_gather_ms": slope_ms(
                 lambda nn: run_lookup(nn, packed, codes, base_cand)),
+            "frontier_fused_ms": (
+                slope_ms(run_frontier) if run_frontier is not None else None),
             "dedup_mask_ms": slope_ms(
                 lambda nn: run_mask(nn, base_cand, wl_i0, visited)),
             "merge_sort_ms": slope_ms(
@@ -167,10 +206,14 @@ def main():
             "parent_l2_ms": slope_ms(
                 lambda nn: run_parent_l2(nn, parent_fp, queries)),
         }
-        row["sum_ms"] = round(sum(row.values()), 4)
-        for k in list(row):
-            if k != "sum_ms":
-                row[k] = round(row[k], 4)
+        # sum over the scattered-path components (frontier_fused is the
+        # ALTERNATIVE to lookup_gather in the fused layout, not an addend)
+        row["sum_ms"] = round(
+            sum(v for k2, v in row.items()
+                if v is not None and k2 != "frontier_fused_ms"), 4)
+        for k2 in list(row):
+            if k2 != "sum_ms" and row[k2] is not None:
+                row[k2] = round(row[k2], 4)
         return row
 
     out = {

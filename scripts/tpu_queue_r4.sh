@@ -4,9 +4,11 @@
 # close roadmap (PROGRESS.md "Round 4/5 candidates"):
 #   0. wait for the (possibly wedged) tunnel to come back
 #   A1. build the HBM-budget-tuned 10M bundle (R=32 graph + m=32 PQ)
-#   A2. sweep it on-chip -> SCALE10M_TUNED json
+#   A2. sweep it on-chip -> SCALE10M_TUNED_r04.json
 #   B1. warm-started R=64 100M rebuild (DiskANN-quality degree)
-#   B2. 100M R=64 Base-variant sweep -> BASE100M_R64.json
+#   B2. short 100M R=64 Base sweep -> BASE100M_R64.json (the end-of-round
+#       bench re-sweeps the bundle too, so this stays minimal)
+#   C.  best-effort: per-component device-step profiles (verdict #4)
 # Budgets adapt to the time left before DISARM (21:00 UTC) so the driver's
 # end-of-round bench window finds an idle TPU; a build killed mid-way still
 # leaves per-shard checkpoints for the next phase/round.
@@ -31,7 +33,8 @@ done
 
 # ---- Phase A: tuned 10M ----
 if [ ! -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
-  B=$(( $(left) - 23400 )); [ "$B" -gt 9000 ] && B=9000; [ "$B" -lt 3600 ] && B=3600
+  B=9000; L=$(left)
+  [ "$B" -gt $(( L - 7200 )) ] && B=$(( L - 7200 )); [ "$B" -lt 3600 ] && B=3600
   python scripts/watchdog_run.py --log /tmp/build10m_tuned.log --stall 420 \
     --budget "$B" -- python -u scripts/build_10m_tuned.py \
     || echo "[r4] 10M BUILD FAILED (continuing to B)" >>"$LOG"
@@ -50,7 +53,7 @@ if [ -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
 fi
 
 # ---- Phase B: 100M R=64 warm rebuild ----
-BUILD_BUDGET=$(( $(left) - 6300 ))
+BUILD_BUDGET=$(( $(left) - 4800 ))
 if [ "$BUILD_BUDGET" -lt 3600 ]; then
   echo "[r4] skipping 100M R64 build: only $(left)s left" >>"$LOG"
 else
@@ -62,11 +65,28 @@ else
     || { echo "[r4] 100M R64 BUILD FAILED/TIMED OUT $(date)" >>"$LOG"; exit 1; }
   echo "[r4] 100M R=64 build done $(date) left=$(left)s" >>"$LOG"
   python scripts/watchdog_run.py --log /tmp/run100m_r64.log --stall 600 \
-    --budget 5400 -- python -u scripts/run_eval.py \
+    --budget 4200 -- python -u scripts/run_eval.py \
       --prefix bench_data/synthg_v1_n100000000_d128_r64_m32_shardvamana \
-      --variant base --grid 40 60 100 150 220 --beam 2 --extra 24 \
+      --variant base --grid 60 100 150 --beam 2 --extra 24 \
       --no-mmap --probe-sampled-entry --out BASE100M_R64.json \
       --note "sharded-vamana R=64 warm-started from the round-3 R=32 graph" \
     || { echo "[r4] 100M R64 SWEEP FAILED" >>"$LOG"; exit 2; }
+  echo "[r4] 100M R=64 sweep done $(date) left=$(left)s" >>"$LOG"
+fi
+
+# ---- Phase C (best-effort): device-step component profiles ----
+if [ "$(left)" -gt 2700 ]; then
+  python scripts/watchdog_run.py --log /tmp/profile_base.log --stall 900 \
+    --budget 2400 -- python -u scripts/profile_base_step.py \
+      --q 1250 --beam 2 --r 64 --m 32 --n 10000000 --l-grid 512 128 64 \
+      --out STEP_PROFILE_BASE_r04.json \
+    || echo "[r4] base profile failed" >>"$LOG"
+fi
+if [ "$(left)" -gt 2400 ]; then
+  python scripts/watchdog_run.py --log /tmp/profile_inmem.log --stall 900 \
+    --budget 2100 -- python -u scripts/profile_base_step.py \
+      --q 10000 --beam 2 --r 64 --m 64 --n 1000000 --l-grid 20 32 \
+      --out STEP_PROFILE_INMEM_r04.json \
+    || echo "[r4] inmem profile failed" >>"$LOG"
 fi
 echo "[r4] QUEUE COMPLETE $(date)" >>"$LOG"
