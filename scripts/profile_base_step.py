@@ -72,7 +72,7 @@ def main():
     args = ap.parse_args()
 
     from bang_tpu.ops.merge import init_worklist, merge_worklist, \
-        select_parents_beam
+        merge_worklist_ranked, select_parents_beam
     from bang_tpu.ops.pq import pq_distance_tables, pq_lookup, \
         prepare_pq_codebook
     from bang_tpu.ops.pq_pallas import pack_tables, pq_lookup_packed
@@ -149,7 +149,9 @@ def main():
         mi = (l + args.extra)
         w = mi * beam
         wl_d0, wl_i0, wl_v0 = init_worklist(q, l)
-        wl_d0 = jnp.asarray(rng.normal(size=(q, l)).astype(np.float32) ** 2)
+        # worklists are sorted by invariant (merge_worklist_ranked relies on it)
+        wl_d0 = jnp.sort(
+            jnp.asarray(rng.normal(size=(q, l)).astype(np.float32) ** 2), axis=1)
         wl_i0 = jnp.asarray(rng.integers(0, n, size=(q, l), dtype=np.int32))
         visited = jnp.asarray(rng.integers(0, n, size=(q, w), dtype=np.int32))
         dists0 = jnp.asarray(rng.normal(size=(q, c)).astype(np.float32) ** 2)
@@ -167,7 +169,14 @@ def main():
         @functools.partial(jax.jit, static_argnums=0)
         def run_merge(nn, wl, dist, cand):
             def body(i, wl):
-                return merge_worklist(*wl, dist, cand)
+                return merge_worklist(*wl, dist, cand, impl="sort")
+            wl = jax.lax.fori_loop(0, nn, body, wl)
+            return wl[0].sum()
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def run_merge_ranked(nn, wl, dist, cand):
+            def body(i, wl):
+                return merge_worklist_ranked(*wl, dist, cand)
             wl = jax.lax.fori_loop(0, nn, body, wl)
             return wl[0].sum()
 
@@ -200,17 +209,21 @@ def main():
             "merge_sort_ms": slope_ms(
                 lambda nn: run_merge(nn, (wl_d0, wl_i0, wl_v0), dists0,
                                      base_cand)),
+            "merge_ranked_ms": slope_ms(
+                lambda nn: run_merge_ranked(nn, (wl_d0, wl_i0, wl_v0), dists0,
+                                            base_cand)),
             "select_parents_ms": slope_ms(
                 lambda nn: run_select(nn, wl_d0, wl_i0, wl_v0),
                 n_hi=min(33, max(3, l // 2))),
             "parent_l2_ms": slope_ms(
                 lambda nn: run_parent_l2(nn, parent_fp, queries)),
         }
-        # sum over the scattered-path components (frontier_fused is the
-        # ALTERNATIVE to lookup_gather in the fused layout, not an addend)
+        # sum over the scattered-path components (frontier_fused and
+        # merge_ranked are ALTERNATIVES to lookup_gather / merge_sort)
         row["sum_ms"] = round(
             sum(v for k2, v in row.items()
-                if v is not None and k2 != "frontier_fused_ms"), 4)
+                if v is not None
+                and k2 not in ("frontier_fused_ms", "merge_ranked_ms")), 4)
         for k2 in list(row):
             if k2 != "sum_ms" and row[k2] is not None:
                 row[k2] = round(row[k2], 4)

@@ -191,3 +191,39 @@ def test_first_occurrence_blocks_matches_full():
             b = j // 6
             cross_dup = c[qi, j] in c[qi, : b * 6]
             assert blk[qi, j] == (not cross_dup)
+
+
+def test_merge_worklist_ranked_matches_sort():
+    """merge_worklist_ranked (merge-path: candidate-only sort + dense rank
+    compare/reduce) must be BIT-IDENTICAL to the stable concat-sort merge,
+    including inf padding, INVALID_ID slots, duplicate distances (ties), and
+    chained merges (the worklist-sorted invariant)."""
+    import jax.numpy as jnp
+
+    from bang_tpu.constants import INVALID_ID
+    from bang_tpu.ops.merge import (
+        init_worklist, merge_worklist, merge_worklist_ranked,
+    )
+
+    rng = np.random.default_rng(123)
+    q, l, c = 17, 48, 24
+    wl = init_worklist(q, l)
+    for step in range(6):
+        # quantized distances force plenty of exact ties; some lanes inf
+        cd = np.round(rng.exponential(2.0, (q, c)) * 4) / 4
+        cd[rng.random((q, c)) < 0.25] = np.inf
+        ci = rng.integers(0, 5000, (q, c)).astype(np.int32)
+        ci[cd == np.inf] = INVALID_ID
+        cd_j, ci_j = jnp.asarray(cd, jnp.float32), jnp.asarray(ci)
+        out_sort = merge_worklist(*wl, cd_j, ci_j, impl="sort")
+        out_rank = merge_worklist_ranked(*wl, cd_j, ci_j)
+        for a, b, name in zip(out_sort, out_rank, ("dist", "ids", "vis")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"step {step} {name}"
+            )
+        # chain on the ranked output so the sorted-invariant is exercised
+        wl = out_rank
+        # mark a few entries visited like select_parents would
+        vis = np.asarray(wl[2]).copy()
+        vis[:, step % l] = True
+        wl = (wl[0], wl[1], jnp.asarray(vis))
