@@ -52,6 +52,35 @@ if [ -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
   echo "[r4] 10M tuned sweep exit=$? $(date) left=$(left)s" >>"$LOG"
 fi
 
+# ---- Phase B0: 2M R=64 calibration (evidence the warm R=64 recipe moves
+# the recall knee BEFORE committing ~3 h to the 100M rebuild; both 2M
+# bundles get a quick Base eval for the R=32 vs R=64 delta) ----
+if [ "$(left)" -gt 16200 ] && \
+   [ ! -f bench_data/synthg_v1_n2000000_d128_r64_m32_shardvamana_disk.bin ]; then
+  B100_N=2000000 B100_R=64 B100_M=32 B100_SHARDS=8 B100_LBUILD=40 \
+  B100_WARM=/root/repo/bench_data/synthg_v1_n2000000_d128_r32_m32_shardvamana \
+  B100_REUSE=/root/repo/bench_data/synthg_v1_n2000000_d128_r32_m32_shardvamana \
+  python scripts/watchdog_run.py --log /tmp/build2m_r64.log --stall 420 \
+    --budget 2700 -- python -u scripts/build_100m.py \
+    || echo "[r4] 2M R64 CALIBRATION BUILD FAILED" >>"$LOG"
+  echo "[r4] 2M R=64 calibration build exit=$? $(date) left=$(left)s" >>"$LOG"
+fi
+if [ -f bench_data/synthg_v1_n2000000_d128_r64_m32_shardvamana_disk.bin ]; then
+  python scripts/watchdog_run.py --log /tmp/cal2m.log --stall 600 \
+    --budget 1500 -- python -u scripts/run_eval.py \
+      --prefix bench_data/synthg_v1_n2000000_d128_r64_m32_shardvamana \
+      --variant base --grid 40 60 100 --beam 2 --extra 24 --no-mmap \
+      --out CAL2M_R64.json --note "2M R=64 warm calibration for the 100M rebuild" \
+    || echo "[r4] 2M R64 eval failed" >>"$LOG"
+  python scripts/watchdog_run.py --log /tmp/cal2m_r32.log --stall 600 \
+    --budget 1200 -- python -u scripts/run_eval.py \
+      --prefix bench_data/synthg_v1_n2000000_d128_r32_m32_shardvamana \
+      --variant base --grid 40 60 100 --beam 2 --extra 24 --no-mmap \
+      --out CAL2M_R32.json --note "2M R=32 baseline for the R=64 delta" \
+    || echo "[r4] 2M R32 eval failed" >>"$LOG"
+  echo "[r4] 2M calibration evals done $(date) left=$(left)s" >>"$LOG"
+fi
+
 # ---- Phase B: 100M R=64 warm rebuild ----
 BUILD_BUDGET=$(( $(left) - 4800 ))
 if [ "$BUILD_BUDGET" -lt 3600 ]; then
