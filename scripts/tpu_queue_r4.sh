@@ -31,6 +31,19 @@ while true; do
   sleep 60
 done
 
+# ---- Phase A0: quick per-component step decomposition + merge A/B ----
+# (first 30 min of tunnel time: verdict #4 evidence + the sort-vs-ranked
+# merge decision BEFORE the headline sweeps run; builder watches and flips
+# the BANG_MERGE_IMPL default in code if ranked wins)
+if [ ! -f /root/repo/MERGE_AB_r04.json ]; then
+  python scripts/watchdog_run.py --log /tmp/merge_ab.log --stall 600 \
+    --budget 1800 -- python -u scripts/profile_base_step.py \
+      --q 10000 --beam 2 --r 64 --m 64 --n 2000000 --l-grid 20 512 \
+      --out /root/repo/MERGE_AB_r04.json \
+    || echo "[r4] merge A/B profile failed" >>"$LOG"
+  echo "[r4] phase A0 done $(date) left=$(left)s" >>"$LOG"
+fi
+
 # ---- Phase A: tuned 10M ----
 if [ ! -f bench_data/synth_v2_n10000000_d128_r32_m32_vamana_gt.bin ]; then
   B=9000; L=$(left)
