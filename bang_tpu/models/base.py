@@ -96,6 +96,10 @@ def _step_core(state: BaseState, nbrs, parent_fp, queries_f32, raw, use_bloom, b
 
     # Exact distances of the parents being expanded now (their visited slots
     # are (it-1)*P ...); replaces the deferred compute_L2Dist re-rank pass.
+    # parent_fp arrives in the index's storage dtype (u8/i8 ship 1 byte/dim
+    # over the host link — 4x less H2D than f32); the cast is exact for
+    # integer data (values < 2^24) and a no-op for f32 indices.
+    parent_fp = parent_fp.astype(jnp.float32)
     pd = ((parent_fp - queries_f32[:, None, :]) ** 2).sum(-1)  # [Q, P]
     l2d = jax.lax.dynamic_update_slice(
         state.l2_dists,
@@ -270,7 +274,13 @@ class BaseVariantSearcher:
         ]
 
     def _host_gather(self, parents: np.ndarray):
-        return gather_parents(
+        """(nbrs [Q, R] i32, vecs [Q, D] in the index's STORAGE dtype).
+
+        Vectors ship unconverted (raw bytes viewed as the storage dtype);
+        the device step casts to f32 — for u8/i8 indices that is 4x less
+        H2D traffic per iteration and no host-side conversion pass (the
+        reference ships raw bytes the same way, bang_search.cu:771-813)."""
+        nbrs, vecs = gather_parents(
             self.raw,
             self.meta.entry_len,
             self.vec_bytes,
@@ -279,7 +289,9 @@ class BaseVariantSearcher:
             self.meta.dtype_code,
             parents,
             n_threads=self.n_threads,
+            raw_vecs=True,
         )
+        return nbrs, vecs.view(self.meta.numpy_dtype)
 
     def search(self, queries: np.ndarray, params: SearchParams):
         """Batched search. Returns (ids [Q, k] i32, dists [Q, k] f32).

@@ -19,11 +19,21 @@ _lib = None
 _build_failed = False
 
 
+def _stale() -> bool:
+    """True when the .so predates the C++ source (ABI/semantics may differ)."""
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+            os.path.join(_DIR, "host_gather.cpp")
+        )
+    except OSError:
+        return True
+
+
 def _load_lib(build: bool = True):
     global _lib, _build_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build and not _build_failed:
+    if (not os.path.exists(_LIB_PATH) or _stale()) and build and not _build_failed:
         try:
             subprocess.run(
                 ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
@@ -31,7 +41,7 @@ def _load_lib(build: bool = True):
         except Exception:
             _build_failed = True
             return None
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or _stale():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.bang_gather_parents.restype = None
@@ -115,8 +125,11 @@ def gather_parents_numpy(
     pad = np.arange(r)[None, :] >= np.minimum(degrees, r)[:, None]
     out_nbrs[...] = np.where(pad, parents[:, None].astype(np.int32), nbrs)
     if out_vecs is not None:
-        dtype = np.dtype(DTYPE_CODE_TO_NUMPY[dtype_code])
-        out_vecs[...] = recs[:, :vec_bytes].copy().view(dtype).astype(np.float32)
+        if dtype_code == 3:  # raw mode: unconverted vector bytes
+            out_vecs[...] = recs[:, :vec_bytes]
+        else:
+            dtype = np.dtype(DTYPE_CODE_TO_NUMPY[dtype_code])
+            out_vecs[...] = recs[:, :vec_bytes].copy().view(dtype).astype(np.float32)
 
 
 def gather_parents(
@@ -129,10 +142,14 @@ def gather_parents(
     parents,
     n_threads: int = 0,
     with_vecs: bool = True,
+    raw_vecs: bool = False,
 ):
-    """Gather adjacency rows + float32 parent vectors for a parent batch.
+    """Gather adjacency rows + parent vectors for a parent batch.
 
-    Returns (nbrs [Q, r] int32 padded with parent id, vecs [Q, d] f32 or None).
+    Returns (nbrs [Q, r] int32 padded with parent id, vecs). vecs is
+    [Q, d] f32, or with raw_vecs=True the UNCONVERTED [Q, vec_bytes] u8
+    vector bytes (the caller views them as the index dtype and casts on
+    device — 4x less H2D for u8/i8 data), or None if with_vecs=False.
     """
     q = len(parents)
     if n_threads <= 0:
@@ -141,13 +158,19 @@ def gather_parents(
     # the memcpy cost for small parent batches)
     n_threads = max(1, min(n_threads, q // 256 or 1))
     out_nbrs = np.empty((q, r), dtype=np.int32)
-    out_vecs = np.empty((q, d), dtype=np.float32) if with_vecs else None
+    out_vecs = None
+    if with_vecs:
+        out_vecs = (
+            np.empty((q, vec_bytes), dtype=np.uint8)
+            if raw_vecs else np.empty((q, d), dtype=np.float32)
+        )
+    code = 3 if raw_vecs else dtype_code
     parents = np.ascontiguousarray(parents, dtype=np.int32)
     ok = gather_parents_native(
-        raw, entry_len, vec_bytes, d, r, dtype_code, parents, out_nbrs, out_vecs, n_threads
+        raw, entry_len, vec_bytes, d, r, code, parents, out_nbrs, out_vecs, n_threads
     )
     if not ok:
         gather_parents_numpy(
-            raw, entry_len, vec_bytes, d, r, dtype_code, parents, out_nbrs, out_vecs
+            raw, entry_len, vec_bytes, d, r, code, parents, out_nbrs, out_vecs
         )
     return out_nbrs, out_vecs

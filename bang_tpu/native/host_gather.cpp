@@ -27,8 +27,11 @@ void convert_vec(const uint8_t* src, float* dst, uint32_t d) {
 
 extern "C" {
 
-// dtype_code: 0=int8, 1=uint8, 2=float32 (matches metadata file).
-// out_nbrs: [q, r] int32; out_vecs: [q, d] float32 (may be null to skip).
+// dtype_code: 0=int8, 1=uint8, 2=float32 (matches metadata file), or
+// 3=raw (copy the vec_bytes vector bytes unconverted — the device casts to
+// f32 instead, so the H2D payload stays 1 byte/dim for u8/i8 data).
+// out_nbrs: [q, r] int32; out_vecs: [q, d] float32, or [q, vec_bytes] bytes
+// in raw mode (may be null to skip).
 void bang_gather_parents(const uint8_t* index_buf, uint64_t entry_len,
                          uint32_t vec_bytes, uint32_t d, uint32_t r,
                          int dtype_code, const int32_t* parents, int64_t q,
@@ -52,11 +55,16 @@ void bang_gather_parents(const uint8_t* index_buf, uint64_t entry_len,
         std::memcpy(nbrs, rec + vec_bytes + 4, degree * sizeof(int32_t));
         for (uint32_t j = degree; j < r; ++j) nbrs[j] = parent;
         if (out_vecs != nullptr) {
-          float* dst = out_vecs + i * d;
-          switch (dtype_code) {
-            case 0: convert_vec<int8_t>(rec, dst, d); break;
-            case 1: convert_vec<uint8_t>(rec, dst, d); break;
-            default: std::memcpy(dst, rec, d * sizeof(float)); break;
+          if (dtype_code == 3) {
+            std::memcpy(reinterpret_cast<uint8_t*>(out_vecs) + i * vec_bytes,
+                        rec, vec_bytes);
+          } else {
+            float* dst = out_vecs + i * d;
+            switch (dtype_code) {
+              case 0: convert_vec<int8_t>(rec, dst, d); break;
+              case 1: convert_vec<uint8_t>(rec, dst, d); break;
+              default: std::memcpy(dst, rec, d * sizeof(float)); break;
+            }
           }
         }
       }
