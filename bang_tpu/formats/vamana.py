@@ -110,11 +110,16 @@ def _prune_ids(vectors, norms, p_ids, cand, r, alpha):
 )
 def _insert_batch(
     adj, degrees, vectors, norms, p_ids, medoid,
-    r, alpha, l, max_iters, k_overflow, max_in,
+    r, alpha, l, max_iters, k_overflow, max_in, extra_cand=None,
 ):
     """Insert a batch of points: search + prune + scatter + reverse edges.
     One device program; adj/degrees are donated and updated in place.
-    Returns (adj, degrees, n_dropped_reverse_edges)."""
+    Returns (adj, degrees, n_dropped_reverse_edges).
+
+    extra_cand [B, P] (optional): additional candidate ids joined into the
+    prune pool — streaming inserts pass intra-batch nearest peers here so a
+    batch inserted into a small graph links to its own points, not just the
+    medoid's neighborhood (models/streaming.py)."""
     from bang_tpu.models.traversal import make_exact_distance_fn, run_traversal
 
     n = adj.shape[0]
@@ -124,7 +129,10 @@ def _insert_batch(
     final = run_traversal(adj, dist_fn, medoid, b, l, max_iters, use_bloom=False)
 
     # Vamana candidate pool: the visited set of the greedy search + old edges
-    cand = jnp.concatenate([final.visited_ids, adj[p_ids]], axis=1)
+    pool = [final.visited_ids, adj[p_ids]]
+    if extra_cand is not None:
+        pool.append(extra_cand)
+    cand = jnp.concatenate(pool, axis=1)
     new_rows, new_deg = _prune_ids(vectors, norms, p_ids, cand, r, alpha)
     adj = adj.at[p_ids].set(new_rows)
     degrees = degrees.at[p_ids].set(new_deg)
