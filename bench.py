@@ -545,6 +545,72 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
     return row
 
 
+def streaming_row(n=200_000, dim=128, r=32, q=2048):
+    """Streaming-updates microbench (models/streaming.py — no reference
+    counterpart; the reference searches a frozen index): grow an index from
+    empty by batched online inserts, churn 10% (delete + consolidate +
+    re-insert), and verify search quality over the live set. Reports insert
+    throughput and post-churn recall."""
+    import jax
+
+    from bang_tpu.models.streaming import StreamingIndex
+    from bang_tpu.utils.config import SearchParams
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(256, dim)).astype(np.float32) * 4.0
+    pts = (centers[rng.integers(0, 256, n)]
+           + rng.normal(size=(n, dim)).astype(np.float32))
+    queries = (centers[rng.integers(0, 256, q)]
+               + rng.normal(size=(q, dim)).astype(np.float32))
+
+    ix = StreamingIndex(capacity=n + 4096, dim=dim, r=r, l_build=32)
+    ix.insert(pts[:4096])  # ramp + compile outside the timed region
+    t0 = time.perf_counter()
+    for s in range(4096, n, 4096):
+        ix.insert(pts[s : s + 4096])
+    jax.block_until_ready(ix.adj)
+    jax.device_get(ix.degrees[:1])  # force sync (axon block_until_ready no-op)
+    t_ins = time.perf_counter() - t0
+    row = {"n": n, "r": r,
+           "inserts_per_s": round((n - 4096) / t_ins, 1),
+           "insert_wall_s": round(t_ins, 2)}
+
+    victims = rng.choice(n, n // 10, replace=False).astype(np.int32)
+    ix.delete(victims)
+    t0 = time.perf_counter()
+    row["consolidate_repaired"] = ix.consolidate(batch=4096)
+    row["consolidate_s"] = round(time.perf_counter() - t0, 2)
+    ix.insert(pts[victims[:4096]])  # recycle freed slots
+
+    params = SearchParams(L=64, k=K, extra_iters=24, beam_width=2)
+    ids, _ = ix.search(queries[:256], params)  # warm
+    t0 = time.perf_counter()
+    ids, _ = ix.search(queries, params)
+    row["qps_post_churn"] = round(q / (time.perf_counter() - t0), 1)
+    live = np.ones(n, bool)
+    live[victims] = False
+    live[victims[:4096]] = True
+    live_ids = np.flatnonzero(live)
+    sub = pts[live_ids]
+    # exact ground truth over the live set, blocked to bound memory
+    gt = np.empty((q, K), np.int64)
+    qn = (queries ** 2).sum(-1)
+    sn = (sub.astype(np.float32) ** 2).sum(-1)
+    for s in range(0, q, 256):
+        blk = queries[s : s + 256]
+        dd = qn[s : s + 256, None] + sn[None, :] - 2.0 * (blk @ sub.T)
+        part = np.argpartition(dd, K, axis=1)[:, :K]
+        od = np.take_along_axis(dd, part, axis=1)
+        gt[s : s + 256] = live_ids[
+            np.take_along_axis(part, np.argsort(od, axis=1), axis=1)
+        ]
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(np.asarray(ids), gt))
+    row["recall_post_churn"] = round(100.0 * hits / gt.size, 2)
+    log(f"streaming: {row}")
+    return row
+
+
 def load_bundle(prefix, nq):
     import jax.numpy as jnp
 
@@ -812,6 +878,13 @@ def main():
             log(f"spacev_int8 failed: {e}")
             result["spacev_int8"] = {"error": str(e)}
 
+    # ---- streaming updates row (beyond-reference capability evidence) ----
+    if not FAST and not over_budget("streaming"):
+        try:
+            result["streaming"] = streaming_row()
+        except Exception as e:  # pragma: no cover
+            log(f"streaming failed: {e}")
+            result["streaming"] = {"error": str(e)}
 
     print(json.dumps(result))
 
