@@ -347,22 +347,32 @@ def sweep_variant(
         best = point
         if point["recall"] >= TARGET_RECALL:
             if refine:
-                best = _refine_knee(index, search, queries, gt_ids, gt_dists,
-                                    l_prev, point)
+                try:
+                    best = _refine_knee(index, search, queries, gt_ids,
+                                        gt_dists, l_prev, point)
+                except Exception as e:  # pragma: no cover
+                    # a transient remote-compile failure mid-refinement must
+                    # not lose the already-measured passing point (observed:
+                    # tpu_compile_helper HTTP 500 killed the gist960 row)
+                    log(f"refine failed ({e}); keeping grid point")
+                    best = point
             break
         l_prev = L
     best["variant"] = variant
 
     # re-measure the chosen operating point with the pipelined protocol
     # (5 reps + steady-state throughput) — this is the reported row
-    final = _measure_point(
-        index, search, queries, gt_ids, gt_dists, best["L"], best["beam"],
-        best["extra"], n_reps=5, measure_pipelined=True,
-        entry_mode=best.get("entry", "medoid"),
-    )
-    final["frontier"] = best.get("frontier", False)
-    final["variant"] = variant
-    best = final
+    try:
+        final = _measure_point(
+            index, search, queries, gt_ids, gt_dists, best["L"], best["beam"],
+            best["extra"], n_reps=5, measure_pipelined=True,
+            entry_mode=best.get("entry", "medoid"),
+        )
+        final["frontier"] = best.get("frontier", False)
+        final["variant"] = variant
+        best = final
+    except Exception as e:  # pragma: no cover
+        log(f"final re-measure failed ({e}); keeping sweep point")
 
     if measure_serving:
         params = SearchParams(
@@ -563,6 +573,33 @@ def streaming_row(n=200_000, dim=128, r=32, q=2048):
     queries = (centers[rng.integers(0, 256, q)]
                + rng.normal(size=(q, dim)).astype(np.float32))
 
+    def live_recall(ids, live_ids, alias=None):
+        """Exact-GT recall over the live point set, blocked to bound memory.
+
+        `alias` maps index slot id -> original point id: re-inserted points
+        land in recycled free-list slots, so the index returns slot ids that
+        differ from the points' original ids (measured: counting those as
+        misses understated post-churn recall by ~1 point per percent of
+        re-inserted points)."""
+        sub = pts[live_ids]
+        gt = np.empty((q, K), np.int64)
+        qn = (queries ** 2).sum(-1)
+        sn = (sub.astype(np.float32) ** 2).sum(-1)
+        for s in range(0, q, 256):
+            blk = queries[s : s + 256]
+            dd = qn[s : s + 256, None] + sn[None, :] - 2.0 * (blk @ sub.T)
+            part = np.argpartition(dd, K, axis=1)[:, :K]
+            od = np.take_along_axis(dd, part, axis=1)
+            gt[s : s + 256] = live_ids[
+                np.take_along_axis(part, np.argsort(od, axis=1), axis=1)
+            ]
+        ids = np.asarray(ids)
+        if alias:
+            ids = np.vectorize(lambda i: alias.get(int(i), int(i)))(ids)
+        hits = sum(len(set(a.tolist()) & set(b.tolist()))
+                   for a, b in zip(ids, gt))
+        return round(100.0 * hits / gt.size, 2)
+
     ix = StreamingIndex(capacity=n + 4096, dim=dim, r=r, l_build=32)
     ix.insert(pts[:4096])  # ramp + compile outside the timed region
     t0 = time.perf_counter()
@@ -575,38 +612,27 @@ def streaming_row(n=200_000, dim=128, r=32, q=2048):
            "inserts_per_s": round((n - 4096) / t_ins, 1),
            "insert_wall_s": round(t_ins, 2)}
 
+    params = SearchParams(L=64, k=K, extra_iters=24, beam_width=2)
+    ids, _ = ix.search(queries[:256], params)  # warm/compile
+    ids, _ = ix.search(queries, params)
+    row["recall_pre_churn"] = live_recall(ids, np.arange(n))
+
     victims = rng.choice(n, n // 10, replace=False).astype(np.int32)
     ix.delete(victims)
     t0 = time.perf_counter()
     row["consolidate_repaired"] = ix.consolidate(batch=4096)
     row["consolidate_s"] = round(time.perf_counter() - t0, 2)
-    ix.insert(pts[victims[:4096]])  # recycle freed slots
+    back = victims[:4096]
+    new_ids = ix.insert(pts[back])  # recycle freed slots
+    alias = {int(s): int(o) for s, o in zip(new_ids, back)}
 
-    params = SearchParams(L=64, k=K, extra_iters=24, beam_width=2)
-    ids, _ = ix.search(queries[:256], params)  # warm
     t0 = time.perf_counter()
     ids, _ = ix.search(queries, params)
     row["qps_post_churn"] = round(q / (time.perf_counter() - t0), 1)
     live = np.ones(n, bool)
     live[victims] = False
-    live[victims[:4096]] = True
-    live_ids = np.flatnonzero(live)
-    sub = pts[live_ids]
-    # exact ground truth over the live set, blocked to bound memory
-    gt = np.empty((q, K), np.int64)
-    qn = (queries ** 2).sum(-1)
-    sn = (sub.astype(np.float32) ** 2).sum(-1)
-    for s in range(0, q, 256):
-        blk = queries[s : s + 256]
-        dd = qn[s : s + 256, None] + sn[None, :] - 2.0 * (blk @ sub.T)
-        part = np.argpartition(dd, K, axis=1)[:, :K]
-        od = np.take_along_axis(dd, part, axis=1)
-        gt[s : s + 256] = live_ids[
-            np.take_along_axis(part, np.argsort(od, axis=1), axis=1)
-        ]
-    hits = sum(len(set(a.tolist()) & set(b.tolist()))
-               for a, b in zip(np.asarray(ids), gt))
-    row["recall_post_churn"] = round(100.0 * hits / gt.size, 2)
+    live[back] = True
+    row["recall_post_churn"] = live_recall(ids, np.flatnonzero(live), alias)
     log(f"streaming: {row}")
     return row
 
@@ -623,17 +649,19 @@ def load_bundle(prefix, nq):
     return jnp.asarray(queries), gt_ids[:nq], gt_dists[:nq]
 
 
-def _probe_backend(timeouts=(150, 30, 30)):
+def _probe_backend(timeouts=(300, 240, 180)):
     """Fail fast (with a JSON line) if the device backend is unreachable.
 
     The axon TPU tunnel can wedge such that the FIRST device op blocks
     forever (observed round 3: in-flight RPCs hang after harness churn). A
     bench that hangs reports nothing; probe in a subprocess with a timeout
-    so the headline JSON always prints. The first attempt is generous (cold
-    tunnel + first compile is legitimately slow); retries are short. TOTAL
-    probe budget must stay well under the driver's patience — round 3's
-    3x600 s budget exceeded the driver window and the fail-fast JSON never
-    printed (rc=124); the whole point of the probe is that it cannot."""
+    so the headline JSON always prints. Round-4 measurement of session
+    establishment: healthy sessions complete the probe in ~4 s, but
+    establishment randomly hangs 2-4+ min and then succeeds on a fresh
+    attempt — so every attempt must cover a multi-minute hang, and retries
+    are what actually recover (each subprocess is a fresh tunnel session).
+    Round 3's 3x600 s budget exceeded the driver window and the fail-fast
+    JSON never printed (rc=124); total stays ~12 min worst-case here."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp;"
