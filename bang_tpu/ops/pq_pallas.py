@@ -84,6 +84,12 @@ def pq_lookup_packed(
     """
     q, m, _ = packed_tables.shape
     r = codes.shape[1]
+    # Scoped-vmem budget: the kernel materializes ~6 temporaries of
+    # [tile_q*m, 128] i32. tile_q*m = 4096 (the tuned m=64 point) fits v5e's
+    # 16M scoped limit; m=120 at tile_q=64 allocates 22.3M and Mosaic OOMs
+    # (observed on the gist960 bundle) — shrink the tile for wide-m tables.
+    while tile_q > 8 and tile_q * m > 4096:
+        tile_q //= 2
     r_pad = r if r <= 128 else -(-r // 128) * 128
     codes = codes.astype(jnp.uint8)  # ship 1 byte/code into the kernel
     if r_pad != r:

@@ -43,6 +43,18 @@ def test_pq_lookup_packed_wide_candidates():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
 
 
+def test_pq_lookup_packed_wide_m_tile_shrink():
+    """m=120 (gist960's m) must auto-shrink tile_q: tile_q*m > 4096 at the
+    default tile blows v5e's 16M scoped-vmem limit (observed Mosaic OOM)."""
+    rng = np.random.default_rng(3)
+    q, r, m = 96, 32, 120
+    tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 256, (q, r, m)).astype(np.uint8))
+    want = np.asarray(pq_lookup(tables, codes))
+    got = np.asarray(pq_lookup_packed(pack_tables(tables), codes, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * m)
+
+
 def test_pq_lookup_packed_nonmultiple_wide():
     rng = np.random.default_rng(2)
     q, r, m = 8, 192, 4
