@@ -567,11 +567,21 @@ def streaming_row(n=200_000, dim=128, r=32, q=2048):
     from bang_tpu.utils.config import SearchParams
 
     rng = np.random.default_rng(11)
-    centers = rng.normal(size=(256, dim)).astype(np.float32) * 4.0
-    pts = (centers[rng.integers(0, 256, n)]
-           + rng.normal(size=(n, dim)).astype(np.float32))
-    queries = (centers[rng.integers(0, 256, q)]
-               + rng.normal(size=(q, dim)).astype(np.float32))
+    # Same generator as every other row (build_bundle). The previous ad-hoc
+    # recipe (256 Gaussian islands at 4x separation) was a connectivity
+    # pathology, not a workload: even an OFFLINE 2-pass R=32 Vamana graph
+    # scores ~51 recall@L64 on it at 50K (measured round 4) because the alpha
+    # prune occludes nearly all inter-island edges — while on the standard
+    # clustered distribution both offline (100.0) and streamed (99.8) graphs
+    # are fine. A row meant to detect churn damage must start from a healthy
+    # baseline, and recall here should be comparable with the other rows.
+    from bang_tpu.formats.synthetic import make_clustered_data
+
+    pts = make_clustered_data(
+        n, dim, n_clusters=max(64, n // 1000), dtype=np.float32, seed=11
+    )
+    queries = (pts[rng.integers(0, n, q)]
+               + rng.normal(0, 0.05, (q, dim)).astype(np.float32))
 
     def live_recall(ids, live_ids, alias=None):
         """Exact-GT recall over the live point set, blocked to bound memory.
