@@ -88,30 +88,45 @@ _LAST_PROGRESS = [time.time()]
 _STALL_S = float(os.environ.get("BENCH_STALL_S", 1500))
 
 
+def _dump_partial(reason, rc):
+    partial = dict(_RESULT)
+    best = 0.0
+    for row in (partial.get("variants") or {}).values():
+        if isinstance(row, dict):
+            best = max(best, row.get("qps_pipelined") or row.get("qps") or 0.0)
+    partial.setdefault("metric", f"QPS@0.9recall10_synth{N // 1000}K_1chip")
+    partial.setdefault("unit", "qps")
+    partial["value"] = partial.get("value", best)
+    partial["vs_baseline"] = round(partial["value"] / BASELINE_QPS, 4)
+    partial["error"] = reason
+    print(json.dumps(partial), flush=True)
+    os._exit(rc)
+
+
 def _start_stall_watchdog():
+    import signal
     import threading
 
     def watch():
         while True:
             time.sleep(30)
             if time.time() - _LAST_PROGRESS[0] > _STALL_S:
-                partial = dict(_RESULT)
-                best = 0.0
-                for row in (partial.get("variants") or {}).values():
-                    if isinstance(row, dict):
-                        best = max(best, row.get("qps_pipelined") or row.get("qps") or 0.0)
-                partial.setdefault("metric", f"QPS@0.9recall10_synth{N // 1000}K_1chip")
-                partial.setdefault("unit", "qps")
-                partial["value"] = partial.get("value", best)
-                partial["vs_baseline"] = round(partial["value"] / BASELINE_QPS, 4)
-                partial["error"] = (
+                _dump_partial(
                     f"bench stalled >{_STALL_S:.0f}s mid-run (tunnel wedge); "
-                    "partial results from completed sections"
+                    "partial results from completed sections", 4,
                 )
-                print(json.dumps(partial), flush=True)
-                os._exit(4)
 
     threading.Thread(target=watch, daemon=True).start()
+    # The caller's window may be shorter than the internal time budget — a
+    # SIGTERM/SIGINT mid-run must still yield the JSON line (round 3's empty
+    # scoreboard: the driver killed a silent bench). Handlers run between
+    # Python bytecodes, so a kill during a section loop lands here; only a
+    # kill during one wedged RPC does not — that is the watchdog's case.
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda s, f: _dump_partial(
+            "killed mid-run (caller window closed); partial results from "
+            "completed sections", 5,
+        ))
 
 
 def log(msg):
