@@ -107,10 +107,11 @@ def measure_device_batch_latency(
     # remote compiler's request limit on tunneled setups)
     if variant == "inmemory":
         arrays = (index.adj, index.vectors, index.vector_norms, index.codes,
-                  index.nbr_codes, index.codebook, index.fused_rows)
+                  index.nbr_codes, index.codebook, index.fused_rows,
+                  index.adj_planes)
 
         def one_search(arrays, qq):
-            adj, vectors, norms, codes, nbr_codes, cb, fused = arrays
+            adj, vectors, norms, codes, nbr_codes, cb, fused, planes = arrays
             return _search(
                 adj, vectors, norms, codes, nbr_codes, cb, qq,
                 medoid=index.medoid, l=params.L, k=params.k,
@@ -118,14 +119,15 @@ def measure_device_batch_latency(
                 use_bloom=params.visited_mode == "bloom",
                 rerank=params.rerank, pq_impl=params.pq_impl,
                 beam=params.beam_width, fused_rows=fused,
-                entry_samples=entry_samples,
+                entry_samples=entry_samples, adj_planes=planes,
             )
     else:
         arrays = (index.adj, index.vectors, index.vector_norms,
-                  index.nbr_vecs, index.nbr_vec_norms, index.fused_vec_rows)
+                  index.nbr_vecs, index.nbr_vec_norms, index.fused_vec_rows,
+                  index.adj_planes)
 
         def one_search(arrays, qq):
-            adj, vectors, norms, nbr_vecs, nbr_vec_norms, fused = arrays
+            adj, vectors, norms, nbr_vecs, nbr_vec_norms, fused, planes = arrays
             return _search(
                 adj, vectors, norms, nbr_vecs, nbr_vec_norms, qq,
                 medoid=index.medoid, l=params.L, k=params.k,
@@ -134,7 +136,7 @@ def measure_device_batch_latency(
                 precision=params.traversal_precision,
                 beam=params.beam_width,
                 fused_vec_rows=fused,
-                entry_samples=entry_samples,
+                entry_samples=entry_samples, adj_planes=planes,
             )
 
     @functools.partial(jax.jit, static_argnames=("n",))

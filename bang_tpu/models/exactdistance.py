@@ -27,10 +27,16 @@ from bang_tpu.utils.config import SearchParams
 def _search_exact_jit(
     adj, vectors, vector_norms, nbr_vecs, nbr_vec_norms, queries, medoid, l, k,
     max_iters, use_bloom, precision="highest", beam=1, fused_vec_rows=None,
-    entry_samples=0,
+    entry_samples=0, adj_planes=None,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
+    if adj is None and adj_planes is not None:
+        # byte-plane adjacency (ops/adjacency): indexes built in
+        # neighbor_codes mode drop the lane-padded i32 table entirely
+        from bang_tpu.ops.adjacency import PlaneAdjacency
+
+        adj = PlaneAdjacency(adj_planes)
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
@@ -78,6 +84,7 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         beam=params.beam_width,
         fused_vec_rows=index.fused_vec_rows,
         entry_samples=params.entry_samples if params.entry_mode == "sampled" else 0,
+        adj_planes=index.adj_planes,
     )
     # stats stay device-side; SearchStats fetches lazily (one round trip on
     # first access) so back-to-back searches pipeline through the dispatch

@@ -10,6 +10,7 @@ variant:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -30,6 +31,10 @@ class DeviceIndex(NamedTuple):
     nbr_codes: Optional[jnp.ndarray]  # [N, R*m] u8 — neighbors' codes, row-
     # aligned per parent, FLAT so no lane padding (gather-efficient
     # CAGRA-style layout; R x the code memory)
+    adj_planes: Optional[jnp.ndarray]  # [N, 4R] u8 — byte-plane adjacency
+    # (ops/adjacency), built with nbr_codes: an i32 minor dim of R<=64 is
+    # lane-padded up to 128 on TPU (4x HBM at R=32), u8 4R is exactly one
+    # lane tile; replaces `adj` (None) in neighbor_codes mode
     fused_rows: Optional[jnp.ndarray]  # [N, R*(4+m)] u8 — fused frontier rows
     # (id byte-planes + chunk-major neighbor codes): ONE gather per parent
     # yields both candidate ids and PQ distances (ops/pq_pallas.frontier_*)
@@ -93,12 +98,54 @@ def build_device_index(
             dim = pq.dim
     import jax
 
+    adj_planes = None
     if neighbor_codes:
-        assert adj is not None and codes is not None
+        assert codes is not None and (adj is not None or graph is not None)
         # stored FLAT [N, R*m]: a u8 minor dim of m=64 would be lane-padded
         # to 128 on TPU, doubling every gather's HBM traffic (measured
-        # 6.9 -> 5.7 ms/iter for gather+lookup at Q=10K, beam=2, R=m=64)
-        nbr_codes = jax.jit(lambda c, a: c[a].reshape(a.shape[0], -1))(codes, adj)
+        # 6.9 -> 5.7 ms/iter for gather+lookup at Q=10K, beam=2, R=m=64).
+        # Built in row BLOCKS: the naive codes[adj] materializes a [N, R, m]
+        # u8 intermediate whose m-minor is lane-padded 128/m x — at the
+        # tuned-10M point (R=m=32) that intermediate alone is 41 GB and the
+        # load OOMs at compile time. Per-block transients stay ~256 MB and
+        # the output is written in place (donated).
+        # The same padding hits the resident [N, R] i32 adjacency (4x at
+        # R=32, 5.1 GB at 10M), so neighbor_codes mode replaces it with
+        # byte-plane rows (ops/adjacency): u8 [N, 4R], exactly lane-tile
+        # wide, decoded on the VPU after each parent-row gather.
+        from bang_tpu.ops.adjacency import pack_adj_planes
+
+        adj_host = graph.adj if graph is not None else np.asarray(adj)
+        n_rows, r = adj_host.shape
+        m = codes.shape[1]
+        blk = min(n_rows, max(4096, (256 * 1024**2) // max(1, r * 128)))
+
+        @jax.jit
+        def _build_block(c, a_blk):
+            g = c[a_blk].reshape(a_blk.shape[0], -1)  # [B, R*m] u8
+            return g, pack_adj_planes(a_blk)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _write_block(oc, op, g, pl, s):
+            oc = jax.lax.dynamic_update_slice(oc, g, (s, 0))
+            op = jax.lax.dynamic_update_slice(op, pl, (s, 0))
+            return oc, op
+
+        nbr_codes = jnp.zeros((n_rows, r * m), jnp.uint8)
+        adj_planes = jnp.zeros((n_rows, 4 * r), jnp.uint8)
+        starts = list(range(0, n_rows - blk + 1, blk))
+        if n_rows % blk:
+            # one compiled shape: the final block ENDS at n_rows and overlaps
+            # the previous one — overlapped rows are rewritten with identical
+            # values (both blocks gather the same source rows)
+            starts.append(n_rows - blk)
+        for s in starts:
+            a_blk = jnp.asarray(np.asarray(adj_host[s : s + blk], np.int32))
+            g, pl = _build_block(codes, a_blk)
+            nbr_codes, adj_planes = _write_block(
+                nbr_codes, adj_planes, g, pl, jnp.int32(s)
+            )
+        adj = None  # the padded i32 table is never HBM-resident in this mode
     if fused_frontier:
         assert graph is not None and pq is not None and pq.codes is not None
         from bang_tpu.ops.pq_pallas import pack_frontier_rows
@@ -122,6 +169,7 @@ def build_device_index(
         vector_norms=norms,
         codes=codes,
         nbr_codes=nbr_codes,
+        adj_planes=adj_planes,
         fused_rows=fused_rows,
         nbr_vecs=nbr_vecs,
         nbr_vec_norms=nbr_vec_norms,
@@ -151,8 +199,10 @@ def free_device_index(index) -> None:
 
 
 # Auto-budget (bytes) for the neighbor-aligned R x expansion layouts. Chosen
-# to leave headroom on a 16 GB v5e chip next to the base arrays.
-NEIGHBOR_LAYOUT_BUDGET = 9 * 1024**3
+# to leave headroom on a 16 GB v5e chip next to the base arrays (which in
+# neighbor_codes mode are lane-tight: u8 vectors + padded codes + byte-plane
+# adjacency total ~3.9 GB at 10M/d128/m32).
+NEIGHBOR_LAYOUT_BUDGET = 10_800_000_000
 
 
 def device_index_from_files(

@@ -47,9 +47,16 @@ def _search_inmemory_jit(
     beam=1,
     fused_rows=None,
     entry_samples=0,
+    adj_planes=None,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
+    if adj_planes is not None:
+        # byte-plane adjacency (ops/adjacency): used with nbr_codes so the
+        # lane-padded i32 table never has to be HBM-resident
+        from bang_tpu.ops.adjacency import PlaneAdjacency
+
+        adj = PlaneAdjacency(adj_planes)
     distance_fn = make_pq_distance_fn(
         queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
         fused_rows=fused_rows,
@@ -99,6 +106,7 @@ def search_inmemory(index: DeviceIndex, queries, params: SearchParams):
         beam=params.beam_width,
         fused_rows=index.fused_rows,
         entry_samples=params.entry_samples if params.entry_mode == "sampled" else 0,
+        adj_planes=index.adj_planes,
     )
     # stats stay device-side; SearchStats fetches lazily (one round trip on
     # first access) so back-to-back searches pipeline through the dispatch

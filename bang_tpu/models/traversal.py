@@ -148,8 +148,20 @@ def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
     When distance_fn exposes `frontier_fn(parents) -> (cand_ids, raw_dists)`
     (the fused frontier-row layout), the adjacency gather disappears: one
     gather per parent yields both the candidate ids and their PQ distances.
+
+    `adj` may be a [N, R] int32 table or a callable `parents -> [Q, P*R] i32`
+    with an `.r` attribute (ops/adjacency.PlaneAdjacency — the byte-plane
+    layout that avoids i32 lane padding at narrow R).
     """
-    r = adj.shape[1]
+    if callable(adj):
+        r = adj.r
+        fetch_adj = adj
+    else:
+        r = adj.shape[1]
+
+        def fetch_adj(parents):
+            return adj[parents].reshape(parents.shape[0], beam * r)
+
     frontier_fn = getattr(distance_fn, "frontier_fn", None)
 
     def step(state: TraversalState) -> TraversalState:
@@ -157,7 +169,7 @@ def make_step(adj: jnp.ndarray, distance_fn, use_bloom: bool, beam: int = 1):
         if frontier_fn is not None:
             cand, raw = frontier_fn(state.parents)  # ONE fused gather
         else:
-            cand = adj[state.parents].reshape(q, beam * r)  # adjacency gather
+            cand = fetch_adj(state.parents)  # adjacency gather [Q, beam*R]
             raw = None
         cand_valid = jnp.repeat(state.parent_valid, r, axis=1)
 

@@ -178,6 +178,7 @@ def search_data_parallel(mesh: Mesh, index, queries: np.ndarray, params: SearchP
         max_iters=params.max_iters,
         use_bloom=params.visited_mode == "bloom",
         fused_rows=index_r.fused_rows,
+        adj_planes=index_r.adj_planes,
         rerank=params.rerank,
         pq_impl=params.pq_impl,
         beam=params.beam_width,

@@ -78,6 +78,11 @@ def warmup_touch(index, n_nodes: int = 1_000_000) -> int:
     import jax.numpy as jnp
 
     adj = getattr(index, "adj", None)
+    if adj is None and getattr(index, "adj_planes", None) is not None:
+        # neighbor_codes-mode indexes store adjacency as byte planes
+        from bang_tpu.ops.adjacency import decode_adj_planes
+
+        adj = decode_adj_planes(index.adj_planes)
     if adj is not None:
         order = bfs_from(np.asarray(adj), index.medoid, max_nodes=n_nodes)
     elif getattr(index, "raw", None) is not None:

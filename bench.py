@@ -462,9 +462,12 @@ def _traversal_gather_bytes_per_iter(index, variant, q, beam):
             tables = q * m * 512  # packed bf16-pair tables stream per lookup
             if index.fused_rows is not None:
                 return q * beam * index.fused_rows.shape[1] + tables
-            r = index.adj.shape[1]
             if index.nbr_codes is not None:
+                # adjacency rows are byte-plane u8 [N, 4R] in this mode
+                r = (index.adj_planes.shape[1] // 4 if index.adj_planes
+                     is not None else index.adj.shape[1])
                 return q * beam * (index.nbr_codes.shape[1] + r * 4) + tables
+            r = index.adj.shape[1]
             return q * beam * r * (4 + m) + tables
     except Exception:  # pragma: no cover
         return None

@@ -38,7 +38,12 @@ def test_warmup_touch(tiny_index):
     index = device_index_from_files(tiny_index["prefix"], variant="inmemory")
     touched = warmup_touch(index, n_nodes=500)
     assert touched == 500
-    assert reachable_fraction(np.asarray(index.adj), index.medoid) > 0.99
+    # neighbor_codes-mode indexes carry byte-plane adjacency, not the i32 table
+    from bang_tpu.ops.adjacency import decode_adj_planes
+
+    adj = (np.asarray(decode_adj_planes(index.adj_planes))
+           if index.adj is None else np.asarray(index.adj))
+    assert reachable_fraction(adj, index.medoid) > 0.99
 
 
 def test_warmup_touch_base_variant(tiny_index):
