@@ -528,6 +528,33 @@ def sweep_base(prefix, queries_np, gt_ids, gt_dists, grid=(30, 45, 60, 90),
             f"qps_wall={row['qps_wall']:,.0f} stages={stages}")
         if recall >= TARGET_RECALL:
             break
+    # Overlap A/B: the stage-sum criterion above is tunnel-noise-blind (RPC
+    # latency lands in `wall` but in no stage, so the parts rarely sum past
+    # the whole here even when the pipeline works). The direct proof is an
+    # ablation: the same search with the pipeline OFF (one sub-batch, fully
+    # serial host->device->host). Any speedup of the pipelined wall over the
+    # serial wall can ONLY come from host gather / transfer / device compute
+    # overlapping (the analog of the reference's 4-stream + speculative
+    # pipeline, bang_search.cu:1384-1521).
+    try:
+        if searcher.meta.n > 20_000_000:
+            raise RuntimeError("A/B skipped at >20M (serial wall too costly "
+                               "for the bench window; the 10M row carries "
+                               "the overlap evidence)")
+        serial = BaseVariantSearcher(prefix, n_pipeline_batches=1, mmap=mmap)
+        params = SearchParams(L=row["L"], k=K, beam_width=beam,
+                              extra_iters=extra, entry_mode=entry_mode)
+        serial.search(queries_np[:256], params)  # compile + warm
+        t0 = time.perf_counter()
+        serial.search(queries_np, params)
+        wall_serial = time.perf_counter() - t0
+        if serial.codes is not None:
+            serial.codes.delete()
+        row["wall_serial_s"] = round(wall_serial, 2)
+        row["pipeline_speedup"] = round(wall_serial / row["wall_s"], 3)
+        row["overlap_proven_ab"] = bool(row["pipeline_speedup"] > 1.1)
+    except Exception as e:  # pragma: no cover
+        log(f"pipeline A/B failed: {e}")
     # device-step projection: on a real PCIe host (~10 GB/s, no ~30 ms/RPC
     # tunnel tax) the pipelined loop costs ~max(host gather, device steps)
     try:
