@@ -337,6 +337,7 @@ def make_pq_distance_fn(
     from bang_tpu.ops.pq_pallas import (
         frontier_decode_xla,
         frontier_lookup,
+        frontier_lookup_dma,
         pack_tables,
         pq_lookup_packed,
         use_pallas_default,
@@ -344,6 +345,9 @@ def make_pq_distance_fn(
 
     if impl == "auto":
         impl = "pallas" if use_pallas_default() else "xla"
+    dma_frontier = impl == "pallas_dma"
+    if dma_frontier:
+        impl = "pallas"  # everything except frontier_fn is the pallas path
     tables = pq_distance_tables(codebook, queries_f32)
     m = codebook.num_chunks
 
@@ -383,7 +387,16 @@ def make_pq_distance_fn(
     if fused_rows is not None:
         r = fused_rows.shape[1] // (4 + m)
 
-        if impl == "pallas":
+        if impl == "pallas" and dma_frontier:
+
+            def frontier_fn(parents):
+                # no materialized row gather: the kernel DMAs each parent's
+                # row HBM -> VMEM itself (rows cross HBM once, not 3x)
+                return frontier_lookup_dma(
+                    packed, fused_rows, parents, m, r, parents.shape[1]
+                )
+
+        elif impl == "pallas":
 
             def frontier_fn(parents):
                 rows = fused_rows[parents]  # [Q, beam, r*(4+m)] ONE gather

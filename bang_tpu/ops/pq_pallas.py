@@ -223,6 +223,117 @@ def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16):
     return ids[:q], dists[:q]
 
 
+def _frontier_dma_kernel(
+    tile_q, m, r, beam, parents_ref, tables_ref, rows_hbm, ids_ref, out_ref,
+    scratch, sem,
+):
+    i = pl.program_id(0)
+    base = i * tile_q * beam
+
+    def row_dma(qi, b):
+        pid = parents_ref[base + qi * beam + b]
+        return pltpu.make_async_copy(
+            rows_hbm.at[pid], scratch.at[qi, b], sem.at[qi, b]
+        )
+
+    # issue every parent-row DMA up front (the DMA engines run them
+    # concurrently; issue cost is ~sub-microsecond each), then wait
+    for qi in range(tile_q):
+        for b in range(beam):
+            row_dma(qi, b).start()
+    for qi in range(tile_q):
+        for b in range(beam):
+            row_dma(qi, b).wait()
+
+    mr = tile_q * m
+    tab = tables_ref[...].reshape(mr, 128)
+    reps = -(-128 // r)
+    for b in range(beam):
+        rows = scratch[:, b, :]  # [tile_q, 4r + m*r] u8, DMA'd above
+        idb = rows[:, : 4 * r].astype(jnp.int32)
+        p0 = idb[:, 0 * r : 1 * r]
+        p1 = idb[:, 1 * r : 2 * r]
+        p2 = idb[:, 2 * r : 3 * r]
+        p3 = idb[:, 3 * r : 4 * r]
+        ids_ref[:, b * r : (b + 1) * r] = p0 | (p1 << 8) | (p2 << 16) | (p3 << 24)
+
+        cd = rows[:, 4 * r :].astype(jnp.int32)  # chunk-major codes
+        slices = []
+        for j in range(m):
+            s = cd[:, j * r : (j + 1) * r]
+            if r < 128:
+                s = jnp.concatenate([s] * reps, axis=1)[:, :128]
+            slices.append(s)
+        idx = jnp.stack(slices, axis=1).reshape(mr, 128)
+        word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
+        shift = (idx & 1) << 4
+        half = (word >> shift) & jnp.int32(0xFFFF)
+        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
+        sums = vals.reshape(tile_q, m, 128).sum(axis=1)
+        out_ref[:, b * r : (b + 1) * r] = sums[:, :r]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "r", "beam", "tile_q", "interpret")
+)
+def frontier_lookup_dma(
+    packed_tables, rows, parents, m, r, beam, tile_q=16, interpret=False
+):
+    """frontier_lookup with the parent-row gather INSIDE the kernel.
+
+    The two-op path (XLA gather `fused_rows[parents]` then the decode
+    kernel) writes the gathered [Q, beam, 4r+m*r] u8 intermediate to HBM
+    and reads it straight back — 3x the frontier's fundamental traffic.
+    Here the fused-row table stays in HBM (memory_space=ANY); the kernel
+    reads each query's parent ids from scalar-prefetch SMEM and DMAs just
+    those rows HBM -> VMEM scratch, so the rows cross HBM exactly once.
+    Covers the same reference behavior as frontier_lookup
+    (BANG_Base/bang_search.cu:1201-1241's gather+lookup fused).
+
+    packed_tables: [Q, m, 128] int32 (pack_tables); rows: [N, 4r+m*r] u8
+    (pack_frontier_rows, UNGATHERED); parents: [Q, beam] int32.
+    Returns (ids [Q, beam*r] i32, dists [Q, beam*r] f32).
+    """
+    q = packed_tables.shape[0]
+    row_w = rows.shape[1]
+    assert row_w == 4 * r + m * r, (row_w, m, r)
+    c = beam * r
+    q_pad = -(-q // tile_q) * tile_q
+    if q_pad != q:
+        packed_tables = jnp.pad(packed_tables, ((0, q_pad - q), (0, 0), (0, 0)))
+        parents = jnp.pad(parents, ((0, q_pad - q), (0, 0)))
+    parents_flat = parents.astype(jnp.int32).reshape(q_pad * beam)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_pad // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, m, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, beam, row_w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((tile_q, beam)),
+        ],
+    )
+    ids, dists = pl.pallas_call(
+        functools.partial(_frontier_dma_kernel, tile_q, m, r, beam),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(parents_flat, packed_tables, rows)
+    return ids[:q], dists[:q]
+
+
 def frontier_decode_xla(tables, rows, m, r, beam):
     """Pure-XLA fused-frontier decode (CPU tests / non-TPU backends).
 

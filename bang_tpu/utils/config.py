@@ -32,7 +32,8 @@ class SearchParams:
     visited_mode: str = "exact"  # "exact" (worklist∪visited compare) | "bloom"
     beam_width: int = 1  # parents expanded per iteration (1 = reference schedule)
     rerank: bool = True  # exact re-rank of visited nodes (PQ variants)
-    pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "xla"
+    pq_impl: str = "auto"  # "auto" | "pallas" (TPU kernel) | "pallas_dma"
+    # (TPU kernel + in-kernel parent-row DMA gather) | "xla"
     traversal_precision: str = "highest"  # exact-path cross term: "highest"|"default"
     capabilities: int = 0  # ENABLE_GPU_STATS | ENABLE_CACHE_WARMUP bitmask
     # "medoid" = reference behavior (one shared entry, bang_search.cu:466);
@@ -48,7 +49,7 @@ class SearchParams:
             raise ValueError(f"k ({self.k}) must be <= L ({self.L})")
         if self.visited_mode not in ("exact", "bloom"):
             raise ValueError(f"unknown visited_mode {self.visited_mode!r}")
-        if self.pq_impl not in ("auto", "pallas", "xla"):
+        if self.pq_impl not in ("auto", "pallas", "pallas_dma", "xla"):
             raise ValueError(f"unknown pq_impl {self.pq_impl!r}")
         if self.traversal_precision not in ("highest", "default"):
             raise ValueError(f"unknown traversal_precision {self.traversal_precision!r}")
