@@ -22,12 +22,12 @@ from bang_tpu.utils.config import SearchParams
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam", "entry_samples")
+    jax.jit, static_argnames=("l", "k", "max_iters", "use_bloom", "medoid", "precision", "beam", "entry_samples", "dma_frontier")
 )
 def _search_exact_jit(
     adj, vectors, vector_norms, nbr_vecs, nbr_vec_norms, queries, medoid, l, k,
     max_iters, use_bloom, precision="highest", beam=1, fused_vec_rows=None,
-    entry_samples=0, adj_planes=None,
+    entry_samples=0, adj_planes=None, dma_frontier=False,
 ):
     q = queries.shape[0]
     queries_f32 = queries.astype(jnp.float32)
@@ -43,7 +43,7 @@ def _search_exact_jit(
     distance_fn = make_exact_distance_fn(
         queries_f32, vectors, vector_norms, precision=prec,
         nbr_vecs=nbr_vecs, nbr_vec_norms=nbr_vec_norms,
-        fused_vec_rows=fused_vec_rows,
+        fused_vec_rows=fused_vec_rows, dma_frontier=dma_frontier,
     )
     entry_ids = entry_dists = None
     if entry_samples:
@@ -85,6 +85,9 @@ def search_exact(index: DeviceIndex, queries, params: SearchParams):
         fused_vec_rows=index.fused_vec_rows,
         entry_samples=params.entry_samples if params.entry_mode == "sampled" else 0,
         adj_planes=index.adj_planes,
+        # pq_impl doubles as the frontier-kernel knob for the exact variant
+        # (it has no PQ): 'pallas_dma' selects the in-kernel DMA row gather
+        dma_frontier=params.pq_impl == "pallas_dma",
     )
     # stats stay device-side; SearchStats fetches lazily (one round trip on
     # first access) so back-to-back searches pipeline through the dispatch

@@ -255,6 +255,7 @@ def run_traversal(
 def make_exact_distance_fn(
     queries_f32, vectors, vector_norms, precision=None,
     nbr_vecs=None, nbr_vec_norms=None, fused_vec_rows=None,
+    dma_frontier=False,
 ):
     """Traversal distance: exact squared L2 read from HBM-resident vectors
     (BANG_Exactdistance behavior, parANN.cu:1139-1179).
@@ -301,13 +302,26 @@ def make_exact_distance_fn(
     if fused_vec_rows is not None:
         r = fused_vec_rows.shape[1] // (8 + d)
 
-        def frontier_fn(parents):
-            rows = fused_vec_rows[parents]  # [Q, P, 8R+R*D] ONE gather
-            ids, norms, vecs = decode_exact_frontier_rows(rows, r, d)
-            dists = l2_distance_to_candidates(
-                queries_f32, vecs, norms, precision=precision
-            )
-            return ids, dists
+        if dma_frontier:
+            from bang_tpu.ops.pq_pallas import exact_frontier_dma
+
+            def frontier_fn(parents):
+                # rows cross HBM once: the kernel DMAs each parent's fused
+                # row itself and computes the squared L2 in VMEM
+                return exact_frontier_dma(
+                    queries_f32, fused_vec_rows, parents, r, d,
+                    parents.shape[1],
+                )
+
+        else:
+
+            def frontier_fn(parents):
+                rows = fused_vec_rows[parents]  # [Q, P, 8R+R*D] ONE gather
+                ids, norms, vecs = decode_exact_frontier_rows(rows, r, d)
+                dists = l2_distance_to_candidates(
+                    queries_f32, vecs, norms, precision=precision
+                )
+                return ids, dists
 
         distance_fn.frontier_fn = frontier_fn
 

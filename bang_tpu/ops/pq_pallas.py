@@ -334,6 +334,113 @@ def frontier_lookup_dma(
     return ids[:q], dists[:q]
 
 
+def _exact_frontier_dma_kernel(
+    tile_q, r, d, beam, parents_ref, q_ref, rows_hbm, ids_ref, out_ref,
+    scratch, sem,
+):
+    i = pl.program_id(0)
+    base = i * tile_q * beam
+
+    def row_dma(qi, b):
+        pid = parents_ref[base + qi * beam + b]
+        return pltpu.make_async_copy(
+            rows_hbm.at[pid], scratch.at[qi, b], sem.at[qi, b]
+        )
+
+    for qi in range(tile_q):
+        for b in range(beam):
+            row_dma(qi, b).start()
+    for qi in range(tile_q):
+        for b in range(beam):
+            row_dma(qi, b).wait()
+
+    qv = q_ref[...]  # [tile_q, d] f32
+    q_norm = (qv * qv).sum(axis=-1, keepdims=True)  # [tile_q, 1]
+    for b in range(beam):
+        rows = scratch[:, b, :]  # [tile_q, 8r + r*d] u8
+        idb = rows[:, : 4 * r].astype(jnp.int32)
+        ids_ref[:, b * r : (b + 1) * r] = (
+            idb[:, 0 * r : 1 * r]
+            | (idb[:, 1 * r : 2 * r] << 8)
+            | (idb[:, 2 * r : 3 * r] << 16)
+            | (idb[:, 3 * r : 4 * r] << 24)
+        )
+        nb = rows[:, 4 * r : 8 * r].astype(jnp.int32)
+        norms = pltpu.bitcast(
+            nb[:, 0 * r : 1 * r]
+            | (nb[:, 1 * r : 2 * r] << 8)
+            | (nb[:, 2 * r : 3 * r] << 16)
+            | (nb[:, 3 * r : 4 * r] << 24),
+            jnp.float32,
+        )  # [tile_q, r]
+        vecs = rows[:, 8 * r :].reshape(tile_q, r, d).astype(jnp.float32)
+        # exact f32 multiply-add on the VPU (u8 vectors are exact in f32;
+        # matches l2_distance_to_candidates at Precision.HIGHEST)
+        cross = (qv[:, None, :] * vecs).sum(axis=-1)  # [tile_q, r]
+        out_ref[:, b * r : (b + 1) * r] = jnp.maximum(
+            norms - 2.0 * cross + q_norm, 0.0
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "d", "beam", "tile_q", "interpret")
+)
+def exact_frontier_dma(
+    queries_f32, rows, parents, r, d, beam, tile_q=16, interpret=False
+):
+    """Exact-distance frontier with the parent-row gather INSIDE the kernel.
+
+    The XLA path gathers fused exact rows ([N, 8R+R*D] u8,
+    ops/l2.pack_exact_frontier_rows) into a materialized [Q, P, row] HBM
+    intermediate, then decodes + einsums — the rows cross HBM three times.
+    Here parent ids arrive via scalar prefetch, each row is DMA'd HBM->VMEM
+    once, and ids/norms decode + the squared-L2 (exact f32 VPU multiply-add)
+    happen in VMEM. Covers BANG_Exactdistance's traversal distance fetch
+    (parANN.cu:1139-1179).
+
+    queries_f32: [Q, D] f32; rows: [N, 8r+r*d] u8 (UNGATHERED);
+    parents: [Q, beam] i32. Returns (ids [Q, beam*r] i32, dists f32).
+    """
+    q = queries_f32.shape[0]
+    row_w = rows.shape[1]
+    assert row_w == 8 * r + r * d, (row_w, r, d)
+    c = beam * r
+    q_pad = -(-q // tile_q) * tile_q
+    if q_pad != q:
+        queries_f32 = jnp.pad(queries_f32, ((0, q_pad - q), (0, 0)))
+        parents = jnp.pad(parents, ((0, q_pad - q), (0, 0)))
+    parents_flat = parents.astype(jnp.int32).reshape(q_pad * beam)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_pad // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, beam, row_w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((tile_q, beam)),
+        ],
+    )
+    ids, dists = pl.pallas_call(
+        functools.partial(_exact_frontier_dma_kernel, tile_q, r, d, beam),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(parents_flat, queries_f32.astype(jnp.float32), rows)
+    return ids[:q], dists[:q]
+
+
 def frontier_decode_xla(tables, rows, m, r, beam):
     """Pure-XLA fused-frontier decode (CPU tests / non-TPU backends).
 

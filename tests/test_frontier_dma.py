@@ -43,6 +43,41 @@ def test_frontier_dma_matches_xla_decode(q, beam):
     )
 
 
+@pytest.mark.parametrize("q,beam", [(16, 1), (21, 2)])
+def test_exact_frontier_dma_matches_xla(q, beam):
+    """ids bit-exact and squared-L2 ~f32-exact vs the XLA decode + einsum."""
+    import jax.numpy as jnp2
+
+    from bang_tpu.ops.l2 import (
+        decode_exact_frontier_rows,
+        l2_distance_to_candidates,
+        pack_exact_frontier_rows,
+        squared_norms,
+    )
+    from bang_tpu.ops.pq_pallas import exact_frontier_dma
+
+    rng = np.random.default_rng(7)
+    n, r, d = 90_000, 64, 32
+    vectors = jnp2.asarray(rng.integers(0, 256, size=(n, d), dtype=np.uint8))
+    adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
+    norms = squared_norms(vectors)
+    rows = pack_exact_frontier_rows(jnp2.asarray(adj), vectors, norms)
+    queries = jnp2.asarray(rng.normal(size=(q, d)).astype(np.float32) * 80)
+    parents = jnp2.asarray(rng.integers(0, n, size=(q, beam), dtype=np.int32))
+
+    ids, dists = exact_frontier_dma(
+        queries, rows, parents, r=r, d=d, beam=beam, tile_q=8, interpret=True
+    )
+    want_ids, want_norms, want_vecs = decode_exact_frontier_rows(
+        rows[parents], r, d
+    )
+    want_d = l2_distance_to_candidates(queries, want_vecs, want_norms)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
+    np.testing.assert_allclose(
+        np.asarray(dists), np.asarray(want_d), rtol=1e-5, atol=1e-2
+    )
+
+
 def test_frontier_dma_ids_match_adjacency():
     """Decoded candidate ids must be exactly the parents' adjacency rows."""
     rng = np.random.default_rng(6)
