@@ -393,6 +393,31 @@ def materialize_host(gen: BlockGen, log=None) -> np.ndarray:
 # The sharded build driver
 # ---------------------------------------------------------------------------
 
+def shard_build_hbm_bytes(n_s: int, d: int, r: int, batch: int,
+                          l_build: int, k_overflow: int | None = None) -> int:
+    """Peak-HBM model for one shard's build_vamana_graph call.
+
+    Persistent arrays (vectors u8 + norms f32 + adj i32 + degrees i32) plus
+    the dominant per-batch f32 transients (traversal per-iter candidate
+    gather, main prune pool, overflow re-prune pool), each double-buffered.
+    Calibrated against the round-4 compile-OOM: a 25.4M-member shard at
+    R=64/l_build=40/batch=16384 models to ~21 GB — the allocator reported
+    21.2 GB against 15.75 GB — so the model is accurate to ~1%."""
+    if k_overflow is None:
+        k_overflow = max(512, batch)
+    max_iters = l_build + 16
+    persistent = n_s * (d + 4 + 4 * r + 4)
+    c_pool = max_iters + r  # visited set + old edges joined for the prune
+    prune = batch * c_pool * d * 4 * 2
+    ovf = k_overflow * 2 * r * d * 4 * 2
+    iter_gather = batch * r * d * 4 * 2
+    return persistent + prune + ovf + iter_gather
+
+
+# v5e usable HBM after runtime reservations (device reports 15.75 GB)
+SHARD_HBM_BUDGET = int(float(os.environ.get("BANG_SHARD_HBM_BUDGET", 14.5e9)))
+
+
 def build_sharded_vamana(
     gen: BlockGen,
     r: int = 32,
@@ -425,11 +450,50 @@ def build_sharded_vamana(
             print(f"[bigbuild] {msg} t={time.time()-t0:.0f}s",
                   file=sys.stderr, flush=True)
 
-    sample = gen.gen_block(0)[: kmeans_sample]
-    centers = kmeans_device(sample, n_shards, iters=12, seed=seed + 1)
-    log(f"kmeans centers done (k={n_shards})")
-    assignment, assign_dev = assign_shards(gen, centers, overlap)
-    log("assignment done")
+    # Upfront balanced-estimate guard: an OOM must be a 2-second error, not a
+    # watchdog loop 9 compiles deep (round-4 lesson: the 8-shard 100M R=64
+    # attempt allocated 21.2 GB/shard against 15.75 GB HBM, discovered only
+    # at shard-0 compile time after ~40 min of setup).
+    est = shard_build_hbm_bytes(
+        -(-n * overlap // n_shards), gen.dim, r, batch, l_build
+    )
+    if est > SHARD_HBM_BUDGET:
+        raise MemoryError(
+            f"balanced shard build models to {est/1e9:.1f} GB HBM > budget "
+            f"{SHARD_HBM_BUDGET/1e9:.1f} GB; raise n_shards to at least "
+            f"{-(-n * overlap * (est // max(1, n * overlap // n_shards)) // SHARD_HBM_BUDGET)} "
+            f"or lower batch/l_build"
+        )
+
+    assign_path = f"{ckpt_dir}/assignment.npy" if ckpt_dir else None
+    assign_dev = None  # lazily uploaded when an un-checkpointed shard needs it
+    if assign_path and os.path.exists(assign_path):
+        assignment = np.load(assign_path)
+        log("assignment loaded from checkpoint")
+    else:
+        sample = gen.gen_block(0)[: kmeans_sample]
+        centers = kmeans_device(sample, n_shards, iters=12, seed=seed + 1)
+        log(f"kmeans centers done (k={n_shards})")
+        assignment, assign_dev = assign_shards(gen, centers, overlap)
+        log("assignment done")
+        if assign_path:
+            np.save(assign_path, assignment)
+
+    # Exact per-shard guard (kmeans clusters are unbalanced; the LARGEST
+    # shard sets peak HBM, not the average)
+    counts = np.array([
+        int(((assignment == s).any(axis=1)).sum()) for s in range(n_shards)
+    ])
+    worst = shard_build_hbm_bytes(int(counts.max()), gen.dim, r, batch, l_build)
+    log(f"shard members min/mean/max = {counts.min()}/{counts.mean():.0f}/"
+        f"{counts.max()}; modeled peak HBM {worst/1e9:.1f} GB "
+        f"(budget {SHARD_HBM_BUDGET/1e9:.1f})")
+    if worst > SHARD_HBM_BUDGET:
+        raise MemoryError(
+            f"largest shard ({counts.max()} members) models to "
+            f"{worst/1e9:.1f} GB HBM > budget {SHARD_HBM_BUDGET/1e9:.1f} GB; "
+            f"raise n_shards (currently {n_shards}) or lower batch/l_build"
+        )
 
     parts = [np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, r)).copy()
              for _ in range(overlap)]
@@ -475,6 +539,15 @@ def build_sharded_vamana(
                 local = np.take_along_axis(local, order_c, axis=1)
                 init = (local, ok.sum(axis=1).astype(np.int32))
                 del g_rows, loc, ok, local, order_c
+            if assign_dev is None:
+                # resumed run: rebuild the device copy from the host
+                # checkpoint (200 MB at 100M — one upload, reused per shard)
+                nb, blk = gen.n_blocks, gen.block
+                padded = np.zeros((nb * blk, overlap), np.uint8)
+                padded[: n] = assignment
+                padded[n:] = 255  # padding rows join no shard
+                assign_dev = jnp.asarray(padded.reshape(nb, blk, overlap))
+                del padded
             shard_vecs = gather_shard_vectors(gen, assign_dev, s, n_s)
             adj_dev, deg_dev, _med = build_vamana_graph(
                 shard_vecs, r=r, l_build=l_build, alpha=alpha, batch=batch,
@@ -498,7 +571,8 @@ def build_sharded_vamana(
             parts[o][gids[sel]] = adj_g[sel]
         rows_written[gids] = slot + 1
         del adj_l, adj_g
-    assign_dev.delete()
+    if assign_dev is not None:
+        assign_dev.delete()
     log("all shards built; merging")
     adj, degrees = merge_shard_adj(parts, r, n)
     log("merge done")

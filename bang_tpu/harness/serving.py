@@ -137,6 +137,9 @@ def measure_device_batch_latency(
                 beam=params.beam_width,
                 fused_vec_rows=fused,
                 entry_samples=entry_samples, adj_planes=planes,
+                # match search_exact: without this the probe would silently
+                # time the gathered path while the QPS/recall path runs DMA
+                dma_frontier=params.pq_impl == "pallas_dma",
             )
 
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -76,7 +76,11 @@ def build_device_index(
     if graph is not None:
         n, dim = graph.n, graph.dim
         medoid = graph.medoid if medoid is None else medoid
-        if with_adj:
+        if with_adj and not neighbor_codes:
+            # neighbor_codes mode never keeps the lane-padded i32 table in
+            # HBM (byte-plane rows replace it) AND builds from the host copy,
+            # so transferring it here would add ~5.1 GB of peak build HBM at
+            # the tuned-10M point for nothing — skip the upload entirely
             adj = jnp.asarray(graph.adj, dtype=jnp.int32)
         if with_vectors:
             # vectors stay in their NATIVE dtype. A u8-bitview packing of f32

@@ -267,7 +267,12 @@ class StreamingIndex:
     def consolidate(self, batch: int = 512) -> int:
         """Repair edges into tombstones and free their slots; returns the
         number of rows repaired."""
-        repaired = 0
+        # Repaired counts stay ON DEVICE inside the loop: a blocking scalar
+        # readback per batch costs a full host-link round trip (~390 of them
+        # at hwm=200K dominated the measured 11.2 s consolidate in round 4);
+        # collecting the device scalars and fetching once makes the loop a
+        # pure dispatch pipeline.
+        ns = []
         for s in range(0, self.hwm, batch):
             row_ids = np.arange(s, min(s + batch, self.hwm), dtype=np.int32)
             if len(row_ids) < batch:  # keep one compiled shape
@@ -277,7 +282,8 @@ class StreamingIndex:
                 self.deleted, jnp.asarray(row_ids),
                 r=self.r, alpha=self.alpha,
             )
-            repaired += int(jax.device_get(n))
+            ns.append(n)
+        repaired = int(np.sum(jax.device_get(ns))) if ns else 0
         # free the tombstone slots (nothing points at them now)
         dead = np.flatnonzero(
             np.asarray(jax.device_get(self.deleted[: self.hwm]))

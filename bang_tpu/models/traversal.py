@@ -276,6 +276,12 @@ def make_exact_distance_fn(
     vectors (the traversal's adjacency gather disappears entirely)."""
     from bang_tpu.ops.l2 import decode_exact_frontier_rows, decode_row_gather
 
+    if dma_frontier and fused_vec_rows is None:
+        raise ValueError(
+            "dma_frontier=True requires fused exact-frontier rows "
+            "(pack_exact_frontier_rows); this index has none — build with "
+            "fused_exact_frontier=True or use the default path"
+        )
     d = queries_f32.shape[-1]
 
     def distance_fn(cand_ids, parents=None):
@@ -361,6 +367,22 @@ def make_pq_distance_fn(
         impl = "pallas" if use_pallas_default() else "xla"
     dma_frontier = impl == "pallas_dma"
     if dma_frontier:
+        # pallas_dma is an explicit request for the in-kernel-DMA frontier;
+        # degrading silently would mislabel every benchmark run against it
+        if fused_rows is None:
+            raise ValueError(
+                "pq_impl='pallas_dma' requires fused frontier rows "
+                "(pack_frontier_rows_tiled); this index has none — "
+                "use pq_impl='pallas' or build with fused_frontier=True"
+            )
+        if not use_pallas_default():
+            from bang_tpu.utils.logging import log_message
+
+            log_message(
+                "pq_impl='pallas_dma' on a non-TPU backend runs the DMA "
+                "kernel in interpret mode semantics only on CPU meshes; "
+                "timings are NOT comparable to TPU"
+            )
         impl = "pallas"  # everything except frontier_fn is the pallas path
     tables = pq_distance_tables(codebook, queries_f32)
     m = codebook.num_chunks

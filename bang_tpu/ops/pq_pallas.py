@@ -309,7 +309,7 @@ def frontier_lookup_dma(
         in_specs=[
             pl.BlockSpec((tile_q, m, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),
@@ -373,7 +373,10 @@ def _exact_frontier_dma_kernel(
             | (nb[:, 3 * r : 4 * r] << 24),
             jnp.float32,
         )  # [tile_q, r]
-        vecs = rows[:, 8 * r :].reshape(tile_q, r, d).astype(jnp.float32)
+        # Mosaic has no direct u8 -> f32 cast; widen through i32 (exact)
+        vecs = rows[:, 8 * r :].reshape(tile_q, r, d).astype(jnp.int32).astype(
+            jnp.float32
+        )
         # exact f32 multiply-add on the VPU (u8 vectors are exact in f32;
         # matches l2_distance_to_candidates at Precision.HIGHEST)
         cross = (qv[:, None, :] * vecs).sum(axis=-1)  # [tile_q, r]
@@ -416,7 +419,7 @@ def exact_frontier_dma(
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
         ],
         out_specs=(
             pl.BlockSpec((tile_q, c), lambda i, *_: (i, 0),

@@ -79,10 +79,18 @@ def warmup_touch(index, n_nodes: int = 1_000_000) -> int:
 
     adj = getattr(index, "adj", None)
     if adj is None and getattr(index, "adj_planes", None) is not None:
-        # neighbor_codes-mode indexes store adjacency as byte planes
-        from bang_tpu.ops.adjacency import decode_adj_planes
-
-        adj = decode_adj_planes(index.adj_planes)
+        # neighbor_codes-mode indexes store adjacency as byte planes. Decode
+        # HOST-SIDE: the BFS consumes a numpy array anyway, and a device
+        # decode would materialize the lane-padded [N, R] i32 table (plus
+        # shift/or temporaries) in HBM — exactly the allocation the
+        # byte-plane layout exists to avoid (~5 GB at tuned-10M).
+        planes = np.asarray(jax.device_get(index.adj_planes))
+        n, r4 = planes.shape
+        r = r4 // 4
+        p = planes.astype(np.int32)
+        adj = (p[:, :r] | (p[:, r:2*r] << 8) | (p[:, 2*r:3*r] << 16)
+               | (p[:, 3*r:] << 24))
+        del planes, p
     if adj is not None:
         order = bfs_from(np.asarray(adj), index.medoid, max_nodes=n_nodes)
     elif getattr(index, "raw", None) is not None:

@@ -969,6 +969,35 @@ def main():
             log(f"streaming failed: {e}")
             result["streaming"] = {"error": str(e)}
 
+    # ---- scale-matched headline ratios ----
+    # `vs_baseline` divides the 1M wall number by the reference's 1B SIFT
+    # figure — useful as a raw speed row but NOT scale-comparable (fewer
+    # traversal iterations at 1M). Print the closest-scale ratios at top
+    # level too so the honest comparable is never buried in a sub-dict.
+    def _best_qps(row):
+        if not isinstance(row, dict) or "error" in row:
+            return None
+        if row.get("recall", 0.0) < TARGET_RECALL:
+            return None
+        return row.get("qps_pipelined") or row.get("qps")
+
+    cands_10m = [
+        _best_qps(result.get("scale10m_tuned")),
+        *(
+            _best_qps(r)
+            for r in (result.get("scale10m") or {}).values()
+            if isinstance(r, dict)
+        ),
+    ]
+    best10 = max((q for q in cands_10m if q), default=None)
+    if best10:
+        result["vs_baseline_10m"] = round(best10 / BASELINE_QPS, 4)
+    q100m = _best_qps(result.get("base100m")) or _best_qps(
+        result.get("base100m_tuned")
+    )
+    if q100m:
+        result["vs_baseline_100m"] = round(q100m / BASELINE_QPS, 4)
+
     print(json.dumps(result))
 
 

@@ -7,12 +7,14 @@ PQ codes in HBM (100M x 32 = 3.2 GB) while the 26 GB packed graph lives in
 host RAM, exactly the reference's billion-scale split (bang_search.cu:311-328
 holds the graph host-side; parANN.h:161-171 is the SIFT100M config family).
 
-Stages (flags let a crashed run resume):
-  graph  — sharded Vamana build -> adj/degrees (saved as .npy checkpoints)
-  data   — materialize host copy of the generated dataset
-  disk   — write _disk.bin + metadata
+Stages (flags let a crashed run resume). Cheap stages run FIRST so that when
+the multi-hour graph stage finishes, the bundle is minutes (not another hour
+of device time) from complete:
+  medoid — streamed medoid
+  gtq    — queries + exact int8 ground truth + save (~25 min at 100M)
   pq     — train + encode + save PQ
-  gtq    — queries + exact int8 ground truth + save
+  graph  — sharded Vamana build -> adj/degrees (per-shard .npy checkpoints)
+  disk   — materialize host dataset copy + write _disk.bin + metadata
 """
 
 import os
@@ -38,11 +40,11 @@ D = 128
 R = int(os.environ.get("B100_R", 32))
 M = int(os.environ.get("B100_M", 32))
 NQ = 10_000
-N_SHARDS = int(os.environ.get("B100_SHARDS", 6))
-L_BUILD = int(os.environ.get("B100_LBUILD", 32))
+N_SHARDS = int(os.environ.get("B100_SHARDS", 20))
+L_BUILD = int(os.environ.get("B100_LBUILD", 24))
 N_PASSES = int(os.environ.get("B100_PASSES", 1))
 BATCH = int(os.environ.get("B100_BATCH", 16384))
-CACHE = "/root/repo/bench_data"
+CACHE = os.environ.get("B100_CACHE", "/root/repo/bench_data")
 PREFIX = os.path.join(CACHE, f"synthg_v1_n{N}_d{D}_r{R}_m{M}_shardvamana")
 CKPT = PREFIX + "_ckpt"
 os.makedirs(CKPT, exist_ok=True)
@@ -74,6 +76,39 @@ def log(msg):
 # block = 512K keeps GT-time peak HBM in range: chunk table 12.9 GB (i8)
 # + pstat 0.4 GB + per-step [q_block, block] i32/f32 transients
 gen = bigbuild.BlockGen(N, D, block=1 << 19, n_clusters=4096, seed=11)
+
+# ---- stage: medoid ----
+med_path = CKPT + "/medoid.npy"
+if not os.path.exists(med_path):
+    medoid = bigbuild.medoid_streamed(gen)
+    np.save(med_path, medoid)
+    log(f"medoid = {medoid}")
+else:
+    medoid = int(np.load(med_path))
+
+# ---- stage: queries + GT (device-resident data; independent of the graph) ----
+if not os.path.exists(PREFIX + "_gt.bin"):
+    rng = np.random.default_rng(77)
+    qblock = 7
+    base = np.asarray(jax.device_get(gen.gen_block(qblock)))[:NQ].astype(np.float32)
+    queries = np.clip(
+        np.rint(base + rng.normal(0, 2.0, base.shape)), 0, 255
+    ).astype(np.uint8)
+    log("computing exact int8 ground truth (chunked MXU)")
+    gt_ids, gt_dists = bigbuild.groundtruth_u8_streamed(gen, queries, 100)
+    save_bin(PREFIX + "_query.bin", queries)
+    save_truthset(PREFIX + "_gt.bin", gt_ids, gt_dists)
+    log("ground truth saved")
+
+# ---- stage: pq ----
+if not os.path.exists(PREFIX + "_pq_compressed.bin"):
+    log("training PQ on a device-generated sample")
+    sample = np.asarray(jax.device_get(gen.gen_block(3)))[: 1 << 19]
+    pq = synthetic.train_pq(sample, M, seed=11)
+    log("encoding 100M codes on device")
+    pq.codes = bigbuild.encode_pq_streamed(gen, pq)
+    save_pq(PREFIX, pq)
+    log("PQ saved")
 
 # ---- stage: graph ----
 adj_path, deg_path = CKPT + "/adj.npy", CKPT + "/deg.npy"
@@ -115,39 +150,6 @@ else:
     adj = np.load(adj_path)
     degrees = np.load(deg_path)
     log("graph loaded from checkpoint")
-
-# ---- stage: medoid ----
-med_path = CKPT + "/medoid.npy"
-if not os.path.exists(med_path):
-    medoid = bigbuild.medoid_streamed(gen)
-    np.save(med_path, medoid)
-    log(f"medoid = {medoid}")
-else:
-    medoid = int(np.load(med_path))
-
-# ---- stage: queries + GT (device-resident data; before host materialize) ----
-if not os.path.exists(PREFIX + "_gt.bin"):
-    rng = np.random.default_rng(77)
-    qblock = 7
-    base = np.asarray(jax.device_get(gen.gen_block(qblock)))[:NQ].astype(np.float32)
-    queries = np.clip(
-        np.rint(base + rng.normal(0, 2.0, base.shape)), 0, 255
-    ).astype(np.uint8)
-    log("computing exact int8 ground truth (chunked MXU)")
-    gt_ids, gt_dists = bigbuild.groundtruth_u8_streamed(gen, queries, 100)
-    save_bin(PREFIX + "_query.bin", queries)
-    save_truthset(PREFIX + "_gt.bin", gt_ids, gt_dists)
-    log("ground truth saved")
-
-# ---- stage: pq ----
-if not os.path.exists(PREFIX + "_pq_compressed.bin"):
-    log("training PQ on a device-generated sample")
-    sample = np.asarray(jax.device_get(gen.gen_block(3)))[: 1 << 19]
-    pq = synthetic.train_pq(sample, M, seed=11)
-    log("encoding 100M codes on device")
-    pq.codes = bigbuild.encode_pq_streamed(gen, pq)
-    save_pq(PREFIX, pq)
-    log("PQ saved")
 
 # ---- stage: disk (host materialize + packed records) ----
 if not os.path.exists(PREFIX + "_disk.bin"):
