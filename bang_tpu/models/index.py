@@ -242,11 +242,16 @@ def device_index_from_files(
         fused = False
         if neighbor_codes is None:
             # prefer the fused frontier rows (one gather/parent for ids +
-            # codes) when the R x expansion fits and R is 64-aligned (a
-            # Mosaic lane-slice limitation, see pq_pallas.pack_frontier_rows);
-            # otherwise fall back to the flat nbr_codes layout
+            # codes) when the R x expansion fits and a slice-safe kernel
+            # exists: R 64-aligned, or R=32 via _frontier_kernel_r32
+            # (measured 1.34x over the nbr_codes two-gather path at the
+            # tuned-10M op point, FUSED32_r05.json); otherwise fall back to
+            # the flat nbr_codes layout
             fb = graph.n * graph.r * (4 + pq.num_chunks)
-            fused = fb <= NEIGHBOR_LAYOUT_BUDGET and graph.r % 64 == 0
+            r_ok = graph.r % 64 == 0 or (
+                graph.r == 32 and pq.num_chunks % 4 == 0
+            )
+            fused = fb <= NEIGHBOR_LAYOUT_BUDGET and r_ok
             nc = graph.n * graph.r * pq.num_chunks
             neighbor_codes = (not fused) and nc <= NEIGHBOR_LAYOUT_BUDGET
         return build_device_index(

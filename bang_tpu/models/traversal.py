@@ -436,7 +436,13 @@ def make_pq_distance_fn(
 
             def frontier_fn(parents):
                 rows = fused_rows[parents]  # [Q, beam, r*(4+m)] ONE gather
-                return frontier_lookup(packed, rows, m, r, parents.shape[1])
+                beam = parents.shape[1]
+                if r == 32 and (m % 4 or beam * r > 128):
+                    # the r32 lane-rotation kernel packs 4 chunks per
+                    # 128-lane block and one beam per 32-lane output group;
+                    # shapes outside that envelope decode via XLA instead
+                    return frontier_decode_xla(tables, rows, m, r, beam)
+                return frontier_lookup(packed, rows, m, r, beam)
 
         else:
 

@@ -136,19 +136,23 @@ def pack_frontier_rows(adj, codes):
     neighbor-aligned codes); each gather op costs ~1.5 ms fixed on v5e, so
     fusing saves ~2.3 ms/iteration at Q=10K, beam=2, R=m=64.
 
-    R must be a multiple of 64: Mosaic miscompiles the 32-wide byte-plane
-    lane slices at offset 64 (observed: plane 2 dropped for lanes 16..31 —
-    ids came back masked to 16 bits at R=32, silently halving recall on any
-    graph with >65536 nodes). R in {64, 128} lowers correctly (validated
-    bit-exact at N=1M, which exercises plane 2).
+    R must be a multiple of 64, or exactly 32: Mosaic miscompiles 32-wide
+    byte-plane lane slices at offset 64 (observed: plane 2 dropped for lanes
+    16..31 — ids came back masked to 16 bits at R=32, silently halving recall
+    on any graph with >65536 nodes; re-confirmed on v5e 2026-08-19,
+    DMA_AB_r05.json check_pq_r32.gathered_ids_exact=false). R in {64, 128}
+    lowers correctly (validated bit-exact at N=1M, which exercises plane 2);
+    R=32 routes through _frontier_kernel_r32, which decodes the identical
+    row layout without ever slicing lanes below 128-alignment.
     """
     import numpy as np
 
     n, r = adj.shape
-    if r % 64:
+    if r % 64 and r != 32:
         raise ValueError(
-            f"fused frontier rows require R % 64 == 0 (got R={r}); use the "
-            "nbr_codes layout instead — see the Mosaic slicing note above"
+            f"fused frontier rows require R % 64 == 0 or R == 32 (got R={r});"
+            " use the nbr_codes layout instead — see the Mosaic slicing note"
+            " above (R=32 decodes through the slice-free _frontier_kernel_r32)"
         )
     m = codes.shape[1]
     id_planes = (
@@ -190,8 +194,77 @@ def _frontier_kernel(tiles_q, m, r, beam, tables_ref, rows_ref, ids_ref, out_ref
         out_ref[:, b * r : (b + 1) * r] = sums[:, :r]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "r", "beam", "tile_q"))
-def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16):
+def _frontier_kernel_r32(tiles_q, m, beam, tables_ref, rows_ref, ids_ref, out_ref):
+    """r=32 fused-frontier decode with NO sub-128 lane slicing at offset > 0.
+
+    Mosaic miscompiles 32-wide u8 lane slices at offsets >= 64 (the byte-plane
+    decode dropped plane 2 at R=32 — ids silently truncated to 16 bits;
+    DMA_AB_r05.json). This variant touches lanes only through op classes the
+    r%64 kernels already validate on hardware: 128-aligned 128-wide slices,
+    constant-index dynamic_gather (lane rotation), iota masks, and offset-0
+    slices no wider than the output block.
+
+      ids:   all 4 byte-planes fill exactly one 128-lane tile; plane k is
+             brought to lanes [0:32) by rotating 32k lanes (a gather with a
+             constant index vector), then shift-or'd.
+      dists: chunk j's 32 codes live in lane group j%4 of 128-lane group
+             j//4. Each group is fed UNSLICED as the gather index for its 4
+             consecutive chunk tables; the 3 wrong-chunk lane groups are
+             masked off after the gather, so the per-chunk sums land in lane
+             group j%4 and a final 3-rotation reduce folds the 4 groups.
+    """
+    r = 32
+    mr = tiles_q * m
+    tab = tables_ref[...].reshape(mr, 128)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (tiles_q, 128), 1)
+
+    def rot(x, s):
+        # lane rotation via constant-index gather: out[:, l] = x[:, (l+s)%128]
+        return jnp.take_along_axis(x, (lane_q + s) % 128, axis=1)
+
+    def rot_f32(x, s):
+        return pltpu.bitcast(rot(pltpu.bitcast(x, jnp.int32), s), jnp.float32)
+
+    group = lane_q // r  # which 32-lane group each lane belongs to
+    ids_acc = jnp.zeros((tiles_q, 128), jnp.int32)
+    dist_acc = jnp.zeros((tiles_q, 128), jnp.float32)
+    for b in range(beam):
+        rows = rows_ref[:, b, :]  # [tiles_q, 128 + m*32] u8
+        idb = rows[:, :128].astype(jnp.int32)  # all 4 id byte-planes
+        ids128 = (
+            idb | (rot(idb, 32) << 8) | (rot(idb, 64) << 16)
+            | (rot(idb, 96) << 24)
+        )  # lanes [0:32) hold the r ids; the rest are rotated mixtures
+
+        cd = rows[:, 128:].astype(jnp.int32)  # chunk-major codes, m*32 lanes
+        idx = jnp.stack(
+            [cd[:, (j // 4) * 128 : (j // 4) * 128 + 128] for j in range(m)],
+            axis=1,
+        ).reshape(mr, 128)
+        word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
+        shift = (idx & 1) << 4
+        half = (word >> shift) & jnp.int32(0xFFFF)
+        vals = pltpu.bitcast((half << 16).astype(jnp.int32), jnp.float32)
+        vals = vals.reshape(tiles_q, m, 128)
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1) // r
+        cmod = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 0) % 4
+        vals = jnp.where((lane_m == cmod)[None], vals, 0.0)
+        s128 = vals.sum(axis=1)  # lane group g holds sums of chunks ≡ g mod 4
+        dists128 = (
+            s128 + rot_f32(s128, 32) + rot_f32(s128, 64) + rot_f32(s128, 96)
+        )  # lanes [0:32) hold the full per-neighbor sums
+        # place beam b's 32 lanes at [b*r, (b+1)*r) and accumulate
+        ids_acc = ids_acc + jnp.where(group == b, rot(ids128, -b * r), 0)
+        dist_acc = dist_acc + jnp.where(group == b, rot_f32(dists128, -b * r), 0.0)
+    c = beam * r
+    ids_ref[...] = ids_acc[:, :c]
+    out_ref[...] = dist_acc[:, :c]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "r", "beam", "tile_q", "interpret")
+)
+def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16, interpret=False):
     """(ids [Q, beam*r] i32, dists [Q, beam*r] f32) from fused frontier rows.
 
     packed_tables: [Q, m, 128] int32 (pack_tables); rows: [Q, beam, 4r+m*r]
@@ -199,12 +272,22 @@ def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16):
     """
     q = packed_tables.shape[0]
     c = beam * r
+    if r == 32:
+        if m % 4:
+            raise ValueError(f"r=32 frontier decode needs m % 4 == 0, got m={m}")
+        if c > 128:
+            raise ValueError(
+                f"r=32 frontier decode supports beam <= 4, got beam={beam}"
+            )
+        kernel = functools.partial(_frontier_kernel_r32, tile_q, m, beam)
+    else:
+        kernel = functools.partial(_frontier_kernel, tile_q, m, r, beam)
     q_pad = -(-q // tile_q) * tile_q
     if q_pad != q:
         packed_tables = jnp.pad(packed_tables, ((0, q_pad - q), (0, 0), (0, 0)))
         rows = jnp.pad(rows, ((0, q_pad - q), (0, 0), (0, 0)))
     ids, dists = pl.pallas_call(
-        functools.partial(_frontier_kernel, tile_q, m, r, beam),
+        kernel,
         grid=(q_pad // tile_q,),
         in_specs=[
             pl.BlockSpec((tile_q, m, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -219,6 +302,7 @@ def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16):
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
             jax.ShapeDtypeStruct((q_pad, c), jnp.float32),
         ),
+        interpret=interpret,
     )(packed_tables, rows)
     return ids[:q], dists[:q]
 
