@@ -76,11 +76,16 @@ def build_device_index(
     if graph is not None:
         n, dim = graph.n, graph.dim
         medoid = graph.medoid if medoid is None else medoid
-        if with_adj and not neighbor_codes:
-            # neighbor_codes mode never keeps the lane-padded i32 table in
-            # HBM (byte-plane rows replace it) AND builds from the host copy,
-            # so transferring it here would add ~5.1 GB of peak build HBM at
-            # the tuned-10M point for nothing — skip the upload entirely
+        if with_adj and not neighbor_codes and not fused_frontier:
+            # neighbor_codes / fused_frontier modes never keep the
+            # lane-padded i32 table in HBM (byte-plane or fused rows replace
+            # it) AND build from the host copy, so transferring it here would
+            # add ~5.1 GB of peak build HBM at the tuned-10M point for
+            # nothing — skip the upload entirely
+            adj = jnp.asarray(graph.adj, dtype=jnp.int32)
+        elif with_adj and fused_frontier and (
+            neighbor_vectors or fused_exact_frontier
+        ):  # pragma: no cover - exact-variant layouts still need the table
             adj = jnp.asarray(graph.adj, dtype=jnp.int32)
         if with_vectors:
             # vectors stay in their NATIVE dtype. A u8-bitview packing of f32
@@ -152,9 +157,47 @@ def build_device_index(
         adj = None  # the padded i32 table is never HBM-resident in this mode
     if fused_frontier:
         assert graph is not None and pq is not None and pq.codes is not None
-        from bang_tpu.ops.pq_pallas import pack_frontier_rows
+        adj_host = graph.adj
+        n_rows, r = adj_host.shape
+        if r % 64 and r != 32:
+            raise ValueError(
+                f"fused frontier rows require R % 64 == 0 or R == 32 (got "
+                f"R={r}); use the nbr_codes layout instead — see the Mosaic "
+                "slicing note in ops/pq_pallas.pack_frontier_rows"
+            )
+        # Built ON DEVICE in row blocks (same scheme as the nbr_codes build
+        # above): the host-side pack_frontier_rows would materialize the
+        # 11.5 GB table in RAM and push it through the slow H2D link, while
+        # here only the [B, R] i32 adjacency blocks cross H2D and the row
+        # assembly (byte-plane ids + chunk-major gathered codes) runs on the
+        # VPU into a donated buffer. The naive codes[adj] intermediate would
+        # be lane-padded 128/m x (41 GB at tuned-10M) — blocks keep it small.
+        from bang_tpu.ops.adjacency import pack_adj_planes
 
-        fused_rows = jnp.asarray(pack_frontier_rows(graph.adj, pq.codes))
+        m = codes.shape[1]
+        row_w = 4 * r + m * r
+        blk = min(n_rows, max(4096, (256 * 1024**2) // max(1, r * 128)))
+
+        @jax.jit
+        def _build_fused(c, a_blk):
+            planes = pack_adj_planes(a_blk)  # [B, 4R] u8, plane-major LE
+            g = c[a_blk]  # [B, R, m] u8
+            cm = jnp.swapaxes(g, 1, 2).reshape(a_blk.shape[0], m * r)
+            return jnp.concatenate([planes, cm], axis=1)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write_fused(buf, rows_blk, s):
+            return jax.lax.dynamic_update_slice(buf, rows_blk, (s, 0))
+
+        fused_rows = jnp.zeros((n_rows, row_w), jnp.uint8)
+        starts = list(range(0, n_rows - blk + 1, blk))
+        if n_rows % blk:
+            starts.append(n_rows - blk)  # final block overlaps, same values
+        for s in starts:
+            a_blk = jnp.asarray(np.asarray(adj_host[s : s + blk], np.int32))
+            fused_rows = _write_fused(
+                fused_rows, _build_fused(codes, a_blk), jnp.int32(s)
+            )
     if neighbor_vectors:
         assert adj is not None and vectors is not None
         nbr_vecs = jax.jit(lambda v, a: v[a])(vectors, adj)
@@ -207,6 +250,12 @@ def free_device_index(index) -> None:
 # neighbor_codes mode are lane-tight: u8 vectors + padded codes + byte-plane
 # adjacency total ~3.9 GB at 10M/d128/m32).
 NEIGHBOR_LAYOUT_BUDGET = 10_800_000_000
+# The fused frontier layout REPLACES both nbr_codes and the adjacency planes
+# (the i32 table is not HBM-resident in fused mode), so its budget is higher:
+# at tuned-10M (R=32, m=32) fused rows are 11.52 GB and total residency is
+# ~13.2 GB of 15.75 GB (vectors 1.28 + codes 0.32 + tables ~0.2), measured
+# viable on v5e by FUSED32_r05.json's 11.5 GB working set.
+FUSED_LAYOUT_BUDGET = 12_000_000_000
 
 
 def device_index_from_files(
@@ -251,7 +300,7 @@ def device_index_from_files(
             r_ok = graph.r % 64 == 0 or (
                 graph.r == 32 and pq.num_chunks % 4 == 0
             )
-            fused = fb <= NEIGHBOR_LAYOUT_BUDGET and r_ok
+            fused = fb <= FUSED_LAYOUT_BUDGET and r_ok
             nc = graph.n * graph.r * pq.num_chunks
             neighbor_codes = (not fused) and nc <= NEIGHBOR_LAYOUT_BUDGET
         return build_device_index(

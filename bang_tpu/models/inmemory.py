@@ -57,6 +57,12 @@ def _search_inmemory_jit(
         from bang_tpu.ops.adjacency import PlaneAdjacency
 
         adj = PlaneAdjacency(adj_planes)
+    elif adj is None and fused_rows is not None:
+        # fused-frontier mode keeps NO adjacency table at all (the fused
+        # rows carry the ids); make_step only needs R
+        from bang_tpu.ops.adjacency import FrontierOnlyAdj
+
+        adj = FrontierOnlyAdj(fused_rows.shape[1] // (4 + codes.shape[1]))
     distance_fn = make_pq_distance_fn(
         queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
         fused_rows=fused_rows,

@@ -63,3 +63,19 @@ class PlaneAdjacency:
         q = parents.shape[0]
         rows = self.planes[parents]  # [Q, P, 4R] u8 — ONE row gather
         return decode_adj_planes(rows).reshape(q, -1)  # [Q, P*R] i32
+
+
+class FrontierOnlyAdj:
+    """Adjacency stand-in for fused-frontier indexes: the fused rows carry
+    the neighbor ids, so no adjacency table is HBM-resident at all. make_step
+    only reads `.r` when a frontier_fn is attached; the fetch contract is
+    never traced."""
+
+    def __init__(self, r: int):
+        self.r = r
+
+    def __call__(self, parents):  # pragma: no cover - unreachable by design
+        raise RuntimeError(
+            "fused-frontier index has no adjacency table; the traversal must "
+            "use distance_fn.frontier_fn"
+        )

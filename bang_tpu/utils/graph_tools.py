@@ -78,6 +78,7 @@ def warmup_touch(index, n_nodes: int = 1_000_000) -> int:
     import jax.numpy as jnp
 
     adj = getattr(index, "adj", None)
+    planes = None
     if adj is None and getattr(index, "adj_planes", None) is not None:
         # neighbor_codes-mode indexes store adjacency as byte planes. Decode
         # HOST-SIDE: the BFS consumes a numpy array anyway, and a device
@@ -85,6 +86,20 @@ def warmup_touch(index, n_nodes: int = 1_000_000) -> int:
         # shift/or temporaries) in HBM — exactly the allocation the
         # byte-plane layout exists to avoid (~5 GB at tuned-10M).
         planes = np.asarray(jax.device_get(index.adj_planes))
+    elif (
+        adj is None
+        and getattr(index, "fused_rows", None) is not None
+        and getattr(index, "codes", None) is not None
+    ):
+        # fused-frontier indexes keep no adjacency table at all; the id
+        # byte-planes are the first 4R bytes of each fused row. Slice on
+        # device (so only [N, 4R] crosses D2H, not the m*R code payload)
+        # and decode host-side as above.
+        r = index.fused_rows.shape[1] // (4 + index.codes.shape[1])
+        planes_dev = jax.jit(lambda f: f[:, : 4 * r])(index.fused_rows)
+        planes = np.asarray(jax.device_get(planes_dev))
+        planes_dev.delete()
+    if planes is not None:
         n, r4 = planes.shape
         r = r4 // 4
         p = planes.astype(np.int32)

@@ -845,10 +845,14 @@ def main():
                 pt = prefix_for("synth", 10_000_000, 128, 32, 32, "vamana")
                 if os.path.exists(pt + "_gt.bin"):
                     try:
+                        # layout auto-select: since the R=32 fused kernel
+                        # landed (_frontier_kernel_r32, FUSED32_r05.json:
+                        # 1.34x over the nbr_codes two-gather path) the
+                        # default picks fused rows here; nbr_codes remains
+                        # the automatic fallback above the fused budget
                         result["scale10m_tuned"] = sweep_variant(
                             pt, "inmemory", q10, g10i, g10d,
                             grid=(14, 16, 20, 25, 30, 40, 60, 90),
-                            index_kwargs={"neighbor_codes": True},
                         )
                     except Exception as e:  # pragma: no cover
                         log(f"scale10m_tuned failed: {e}")

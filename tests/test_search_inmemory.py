@@ -100,6 +100,9 @@ def test_fused_frontier_layout_matches(tmp_path):
     idx_plain = device_index_from_files(prefix, neighbor_codes=False)
     idx_fused = device_index_from_files(prefix)  # default: fused when it fits
     assert idx_fused.fused_rows is not None and idx_plain.fused_rows is None
+    # fused rows carry the ids: the lane-padded i32 table must NOT be
+    # HBM-resident (it would add ~5.1 GB at the tuned-10M point)
+    assert idx_fused.adj is None and idx_fused.adj_planes is None
     for beam in (1, 2):
         params = SearchParams(L=48, k=10, beam_width=beam)
         ids_a, d_a, _ = search_inmemory(idx_plain, queries, params)
