@@ -1,0 +1,84 @@
+"""Bloom-filter visited mode, measured at the 1M headline operating point.
+
+The reference's live visited set IS a bloom filter — one BF_ENTRIES-cell
+filter per query, double FNV-1a hashes (BANG_Inmemory/parANN.cu:964-1046;
+BF_ENTRIES=399887, bang_search.cu:48). This repo implements the same
+mechanism (ops/bloom.py) but defaults to visited_mode="exact" (a dense
+worklist∪visited compare), which is both exact and cheaper on TPU. Verdict
+r04 asked for one measured bloom row at headline scale so the parity claim
+carries a number: recall + QPS delta vs exact, filter memory noted.
+
+Protocol: inmemory variant at the round-4 headline operating point
+(L=11, beam=2, extra=11), 10K queries, warmup + 3 reps, medoid entry.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bang_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+
+import bench
+from bang_tpu.constants import BF_ENTRIES
+from bang_tpu.models.index import device_index_from_files
+from bang_tpu.models.inmemory import search_inmemory
+from bang_tpu.utils.config import SearchParams
+from bang_tpu.utils.recall import calculate_recall
+
+PREFIX = "bench_data/synth_v2_n1000000_d128_r64_m64_vamana"
+L, BEAM, EXTRA, NQ, K = 11, 2, 11, 10_000, 10
+
+
+def log(msg):
+    print(f"[bloom] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    queries, gt_ids, gt_dists = bench.load_bundle(PREFIX, NQ)
+    index = device_index_from_files(PREFIX)
+    out = {
+        "bundle": PREFIX.split("/")[-1],
+        "L": L, "beam": BEAM, "extra": EXTRA, "num_queries": NQ,
+        "bf_entries": BF_ENTRIES,
+        "bloom_filter_bytes": NQ * BF_ENTRIES,  # u8 cells, one filter/query
+    }
+    for mode in ("exact", "bloom"):
+        params = SearchParams(
+            L=L, k=K, beam_width=BEAM, extra_iters=EXTRA, visited_mode=mode
+        )
+        ids, _d, _s = search_inmemory(index, queries, params)  # compile+warm
+        jax.block_until_ready(ids)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids, _d, _s = search_inmemory(index, queries, params)
+            jax.block_until_ready(ids)
+            reps.append(time.perf_counter() - t0)
+        recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
+        out[mode] = {
+            "recall": round(recall, 2),
+            "qps": round(NQ / min(reps), 1),
+            "rep_s": [round(r, 4) for r in reps],
+        }
+        log(f"{mode}: recall={recall:.2f} qps={NQ / min(reps):,.0f}")
+    out["qps_ratio_bloom_vs_exact"] = round(
+        out["bloom"]["qps"] / out["exact"]["qps"], 3
+    )
+    out["recall_delta"] = round(
+        out["bloom"]["recall"] - out["exact"]["recall"], 2
+    )
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BLOOM_r05.json"
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
