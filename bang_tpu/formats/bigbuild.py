@@ -175,18 +175,25 @@ def gather_shard_vectors(gen: BlockGen, assign_dev, shard: int, n_s: int):
 # ---------------------------------------------------------------------------
 
 def merge_shard_adj(parts: list[np.ndarray], r: int, n: int,
-                    chunk: int = 2_000_000) -> tuple[np.ndarray, np.ndarray]:
+                    chunk: int = 2_000_000,
+                    log=None) -> tuple[np.ndarray, np.ndarray]:
     """Merge `overlap` per-point candidate rows into one [N, r] graph.
 
     parts: list of [N, r] int32 arrays (self-id = empty slot / padding).
     Round-robin interleave with dedup, truncated to r — DiskANN's
     merge_shards does exactly this on its overlapped builds. Returns
     (adj [N, r] self-padded, degrees [N]).
+
+    log: heartbeat every 10 chunks — at 100M this stage is minutes of
+    host-side numpy; a silent stretch longer than the stall watchdog's
+    threshold would get a healthy run killed mid-merge.
     """
     adj = np.empty((n, r), np.int32)
     degrees = np.empty(n, np.int32)
     o = len(parts)
     for s in range(0, n, chunk):
+        if log and (s // chunk) % 10 == 0:
+            log(f"merge chunk {s // chunk}/{-(-n // chunk)}")
         e = min(s + chunk, n)
         rows = np.arange(s, e, dtype=np.int32)[:, None]
         # interleave: part0[0], part1[0], part0[1], part1[1], ...
@@ -574,6 +581,6 @@ def build_sharded_vamana(
     if assign_dev is not None:
         assign_dev.delete()
     log("all shards built; merging")
-    adj, degrees = merge_shard_adj(parts, r, n)
+    adj, degrees = merge_shard_adj(parts, r, n, log=log)
     log("merge done")
     return adj, degrees, assignment

@@ -100,19 +100,23 @@ class GraphIndex:
 
 
 def save_graph_index(
-    prefix: str | os.PathLike, index: GraphIndex, block: int = 4_000_000
+    prefix: str | os.PathLike, index: GraphIndex, block: int = 4_000_000,
+    log=None,
 ) -> None:
     """Write `<prefix>_disk.bin` + `<prefix>_disk_metadata.bin`.
 
     Streams in `block`-row chunks: a monolithic writer peaks at ~8x the
     adjacency bytes in temporaries (argsort indices are int64), which at
-    100M x R=32 would approach the host's whole RAM."""
+    100M x R=32 would approach the host's whole RAM. `log` heartbeats each
+    block (minutes of silent host IO at 100M trips stall watchdogs)."""
     prefix = str(prefix)
     meta = index.metadata()
     n, dim, r = index.n, index.dim, index.r
 
     with open(prefix + GRAPH_INDEX_FILE_SUFFIX, "wb") as f:
         for s in range(0, n, block):
+            if log:
+                log(f"disk.bin block {s // block}/{-(-n // block)}")
             e = min(s + block, n)
             nb = e - s
             vec_bytes = (

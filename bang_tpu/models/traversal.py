@@ -306,10 +306,22 @@ def make_exact_distance_fn(
         return l2_distance_to_candidates(queries_f32, vecs, norms, precision=precision)
 
     if fused_vec_rows is not None:
-        r = fused_vec_rows.shape[1] // (8 + d)
+        tiled = fused_vec_rows.ndim == 3  # DMA-tiled [N, s, 128]
+        # tiled tables are r=64-only (exact_frontier_dma's envelope); r is
+        # not recoverable from the padded sublane count
+        r = 64 if tiled else fused_vec_rows.shape[1] // (8 + d)
+        row_w = r * (8 + d)
 
         if dma_frontier:
             from bang_tpu.ops.pq_pallas import exact_frontier_dma
+
+            if not tiled:
+                raise ValueError(
+                    "dma_frontier=True requires the DMA-tiled exact-row "
+                    "layout (pack_exact_frontier_rows_tiled); this index "
+                    "stores flat rows, which crash this backend's "
+                    "dynamic-row DMA"
+                )
 
             def frontier_fn(parents):
                 # rows cross HBM once: the kernel DMAs each parent's fused
@@ -323,6 +335,9 @@ def make_exact_distance_fn(
 
             def frontier_fn(parents):
                 rows = fused_vec_rows[parents]  # [Q, P, 8R+R*D] ONE gather
+                if tiled:  # slice the sublane pad off after the gather
+                    qn, beam = parents.shape
+                    rows = rows.reshape(qn, beam, -1)[:, :, :row_w]
                 ids, norms, vecs = decode_exact_frontier_rows(rows, r, d)
                 dists = l2_distance_to_candidates(
                     queries_f32, vecs, norms, precision=precision
@@ -421,9 +436,31 @@ def make_pq_distance_fn(
             return pq_lookup(tables, fetch_codes(cand_ids, parents))
 
     if fused_rows is not None:
-        r = fused_rows.shape[1] // (4 + m)
+        tiled = fused_rows.ndim == 3  # DMA-tiled [N, s, 128] (s % 8 == 0)
+        if tiled:
+            # only r=64 rows are ever tiled (frontier_lookup_dma's envelope);
+            # r is not recoverable from the padded sublane count
+            r = 64
+        else:
+            r = fused_rows.shape[1] // (4 + m)
+        row_w = r * (4 + m)
+
+        def fetch_rows(parents):
+            """[Q, beam, 4r+m*r] u8 rows for the gather-then-decode paths
+            (tiled tables: slice the sublane pad off AFTER the gather)."""
+            if not tiled:
+                return fused_rows[parents]
+            rows = fused_rows[parents]  # [Q, beam, s, 128]
+            q, beam = parents.shape
+            return rows.reshape(q, beam, -1)[:, :, :row_w]
 
         if impl == "pallas" and dma_frontier:
+            if not tiled:
+                raise ValueError(
+                    "pq_impl='pallas_dma' requires the DMA-tiled fused-row "
+                    "layout (build the index with fused_frontier='dma' / "
+                    "pack_frontier_rows_tiled); this index stores flat rows"
+                )
 
             def frontier_fn(parents):
                 # no materialized row gather: the kernel DMAs each parent's
@@ -435,7 +472,7 @@ def make_pq_distance_fn(
         elif impl == "pallas":
 
             def frontier_fn(parents):
-                rows = fused_rows[parents]  # [Q, beam, r*(4+m)] ONE gather
+                rows = fetch_rows(parents)  # [Q, beam, r*(4+m)] ONE gather
                 beam = parents.shape[1]
                 if r == 32 and (m % 4 or beam * r > 128):
                     # the r32 lane-rotation kernel packs 4 chunks per
@@ -447,7 +484,7 @@ def make_pq_distance_fn(
         else:
 
             def frontier_fn(parents):
-                rows = fused_rows[parents]
+                rows = fetch_rows(parents)
                 return frontier_decode_xla(tables, rows, m, r, parents.shape[1])
 
         distance_fn.frontier_fn = frontier_fn

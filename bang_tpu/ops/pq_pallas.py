@@ -307,10 +307,54 @@ def frontier_lookup(packed_tables, rows, m, r, beam, tile_q=16, interpret=False)
     return ids[:q], dists[:q]
 
 
+def _dma_sublanes(row_w: int) -> int:
+    """Sublane count for a DMA-tiled row: ceil(row_w/128) rounded UP to a
+    multiple of 8. Measured constraint of this TPU backend (bisect series,
+    round 5): dynamic single-row DMAs crash the compile helper unless the
+    copied block's sublane extent is a multiple of 8 (s=8, 16 compile and run
+    bit-exact; s=1 — a flat [row_w] row — and s=9/34/68 abort the backend).
+    The pad is dead HBM traffic: +17.6% at r=64/m=64 (34 -> 40 sublanes),
+    which still leaves the in-kernel DMA ~2.5x below the 3x row traffic of
+    the gather-then-decode path it replaces."""
+    s_raw = -(-row_w // 128)
+    return -(-s_raw // 8) * 8
+
+
+def pack_frontier_rows_tiled(adj, codes):
+    """pack_frontier_rows, zero-padded + reshaped to [N, s, 128] u8 with
+    s % 8 == 0 — the layout the in-kernel-DMA frontier requires (see
+    _dma_sublanes). Flat-view compatible: row i's first 4R + m*R bytes are
+    exactly pack_frontier_rows' row i."""
+    import numpy as np
+
+    flat = pack_frontier_rows(adj, codes)
+    n, row_w = flat.shape
+    s = _dma_sublanes(row_w)
+    out = np.zeros((n, s * 128), np.uint8)
+    out[:, :row_w] = flat
+    return out.reshape(n, s, 128)
+
+
+def _lane_rot(x, shift):
+    """out[:, l] = x[:, (l + shift) % 128] — constant-index dynamic_gather
+    (the op class hardware-validated by _frontier_kernel_r32)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.take_along_axis(x, (lane + shift) % 128, axis=x.ndim - 1)
+
+
 def _frontier_dma_kernel(
-    tile_q, m, r, beam, parents_ref, tables_ref, rows_hbm, ids_ref, out_ref,
+    tile_q, m, beam, s, parents_ref, tables_ref, rows_hbm, ids_ref, out_ref,
     scratch, sem,
 ):
+    """r=64 decode over DMA-tiled rows [*, s, 128] (see _dma_sublanes).
+
+    Row byte map at r=64: sublanes 0-1 = the 4 id byte-planes (plane p at
+    sublane p//2, lanes (p%2)*64..); sublanes 2.. = chunk-major codes, TWO
+    64-byte chunks per sublane. All lane ops are classes validated on
+    hardware elsewhere: 64-wide slices at offsets {0, 64} (the flat r=64
+    kernel), constant-index lane rotation + iota select (_frontier_kernel_r32),
+    and the single dynamic_gather table lookup."""
+    r = 64
     i = pl.program_id(0)
     base = i * tile_q * beam
 
@@ -331,24 +375,28 @@ def _frontier_dma_kernel(
 
     mr = tile_q * m
     tab = tables_ref[...].reshape(mr, 128)
-    reps = -(-128 // r)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_q, 128), 1)
     for b in range(beam):
-        rows = scratch[:, b, :]  # [tile_q, 4r + m*r] u8, DMA'd above
-        idb = rows[:, : 4 * r].astype(jnp.int32)
-        p0 = idb[:, 0 * r : 1 * r]
-        p1 = idb[:, 1 * r : 2 * r]
-        p2 = idb[:, 2 * r : 3 * r]
-        p3 = idb[:, 3 * r : 4 * r]
-        ids_ref[:, b * r : (b + 1) * r] = p0 | (p1 << 8) | (p2 << 16) | (p3 << 24)
-
-        cd = rows[:, 4 * r :].astype(jnp.int32)  # chunk-major codes
-        slices = []
-        for j in range(m):
-            s = cd[:, j * r : (j + 1) * r]
-            if r < 128:
-                s = jnp.concatenate([s] * reps, axis=1)[:, :128]
-            slices.append(s)
-        idx = jnp.stack(slices, axis=1).reshape(mr, 128)
+        sub0 = scratch[:, b, 0, :].astype(jnp.int32)  # planes 0 | 1
+        sub1 = scratch[:, b, 1, :].astype(jnp.int32)  # planes 2 | 3
+        ids_ref[:, b * r : (b + 1) * r] = (
+            sub0[:, :64]
+            | (sub0[:, 64:] << 8)
+            | (sub1[:, :64] << 16)
+            | (sub1[:, 64:] << 24)
+        )
+        # chunk pair per sublane: chunk 2t at lanes [0,64), 2t+1 at [64,128).
+        # Build each chunk's 128-wide gather index by pairing the sublane row
+        # with its 64-lane rotation (both halves then hold that chunk's 64
+        # codes, neighbor n at lanes n and n+64 — the same replication the
+        # flat kernel builds with concatenate).
+        chunks = []
+        for t in range(m // 2):
+            row128 = scratch[:, b, 2 + t, :].astype(jnp.int32)
+            rot64 = _lane_rot(row128, 64)
+            chunks.append(jnp.where(lane < 64, row128, rot64))  # chunk 2t
+            chunks.append(jnp.where(lane < 64, rot64, row128))  # chunk 2t+1
+        idx = jnp.stack(chunks, axis=1).reshape(mr, 128)
         word = jnp.take_along_axis(tab, idx >> 1, axis=1)  # ONE dynamic_gather
         shift = (idx & 1) << 4
         half = (word >> shift) & jnp.int32(0xFFFF)
@@ -370,17 +418,30 @@ def frontier_lookup_dma(
     and reads it straight back — 3x the frontier's fundamental traffic.
     Here the fused-row table stays in HBM (memory_space=ANY); the kernel
     reads each query's parent ids from scalar-prefetch SMEM and DMAs just
-    those rows HBM -> VMEM scratch, so the rows cross HBM exactly once.
-    Covers the same reference behavior as frontier_lookup
-    (BANG_Base/bang_search.cu:1201-1241's gather+lookup fused).
+    those rows HBM -> VMEM scratch, so the rows cross HBM exactly once
+    (plus the s%8 sublane pad, see _dma_sublanes). Covers the same
+    reference behavior as frontier_lookup (BANG_Base/bang_search.cu:
+    1201-1241's gather+lookup fused).
 
-    packed_tables: [Q, m, 128] int32 (pack_tables); rows: [N, 4r+m*r] u8
-    (pack_frontier_rows, UNGATHERED); parents: [Q, beam] int32.
-    Returns (ids [Q, beam*r] i32, dists [Q, beam*r] f32).
+    packed_tables: [Q, m, 128] int32 (pack_tables); rows: [N, s, 128] u8
+    (pack_frontier_rows_tiled, UNGATHERED); parents: [Q, beam] int32.
+    Returns (ids [Q, beam*r] i32, dists [Q, beam*r] f32). r=64 only (the
+    headline degree): the tiled decode maps planes/chunks onto whole
+    sublanes, which needs 4r = 2 sublanes and r = half a lane row.
     """
     q = packed_tables.shape[0]
-    row_w = rows.shape[1]
-    assert row_w == 4 * r + m * r, (row_w, m, r)
+    if r != 64:
+        raise ValueError(f"frontier_lookup_dma supports r=64 only, got r={r}")
+    if m % 2:
+        raise ValueError(f"tiled DMA decode needs m % 2 == 0, got m={m}")
+    row_w = 4 * r + m * r
+    s = _dma_sublanes(row_w)
+    if rows.ndim != 3 or rows.shape[1:] != (s, 128):
+        raise ValueError(
+            f"rows must be DMA-tiled [N, {s}, 128] (pack_frontier_rows_tiled)"
+            f" for r={r}, m={m}; got {rows.shape} — flat rows crash this "
+            "backend's dynamic-row DMA (sublane extent must be 8-aligned)"
+        )
     c = beam * r
     q_pad = -(-q // tile_q) * tile_q
     if q_pad != q:
@@ -402,12 +463,12 @@ def frontier_lookup_dma(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_q, beam, row_w), jnp.uint8),
+            pltpu.VMEM((tile_q, beam, s, 128), jnp.uint8),
             pltpu.SemaphoreType.DMA((tile_q, beam)),
         ],
     )
     ids, dists = pl.pallas_call(
-        functools.partial(_frontier_dma_kernel, tile_q, m, r, beam),
+        functools.partial(_frontier_dma_kernel, tile_q, m, beam, s),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
@@ -418,12 +479,35 @@ def frontier_lookup_dma(
     return ids[:q], dists[:q]
 
 
+def pack_exact_frontier_rows_tiled(adj, vectors, norms):
+    """ops/l2.pack_exact_frontier_rows, zero-padded + reshaped to
+    [N, s, 128] u8 with s % 8 == 0 (see _dma_sublanes) — the layout
+    exact_frontier_dma requires."""
+    import numpy as np
+
+    from bang_tpu.ops.l2 import pack_exact_frontier_rows
+
+    flat = np.asarray(pack_exact_frontier_rows(adj, vectors, norms))
+    n, row_w = flat.shape
+    s = _dma_sublanes(row_w)
+    out = np.zeros((n, s * 128), np.uint8)
+    out[:, :row_w] = flat
+    return out.reshape(n, s, 128)
+
+
 def _exact_frontier_dma_kernel(
-    tile_q, r, d, beam, parents_ref, q_ref, rows_hbm, ids_ref, out_ref,
+    tile_q, r, d, beam, s, parents_ref, q_ref, rows_hbm, ids_ref, out_ref,
     scratch, sem,
 ):
+    """r=64, d%128==0 decode over DMA-tiled exact rows [*, s, 128].
+
+    Row byte map at r=64: sublanes 0-1 = id byte-planes, sublanes 2-3 =
+    f32 norm byte-planes, sublanes 4.. = u8 neighbor vectors (neighbor n at
+    sublanes 4 + n*d/128 ..), so every access is whole-sublane or a 64-wide
+    lane slice at offsets {0, 64} (hardware-validated op classes)."""
     i = pl.program_id(0)
     base = i * tile_q * beam
+    dsub = d // 128
 
     def row_dma(qi, b):
         pid = parents_ref[base + qi * beam + b]
@@ -440,30 +524,35 @@ def _exact_frontier_dma_kernel(
 
     qv = q_ref[...]  # [tile_q, d] f32
     q_norm = (qv * qv).sum(axis=-1, keepdims=True)  # [tile_q, 1]
+    qv4 = qv.reshape(tile_q, 1, dsub, 128)
     for b in range(beam):
-        rows = scratch[:, b, :]  # [tile_q, 8r + r*d] u8
-        idb = rows[:, : 4 * r].astype(jnp.int32)
+        sub0 = scratch[:, b, 0, :].astype(jnp.int32)  # id planes 0 | 1
+        sub1 = scratch[:, b, 1, :].astype(jnp.int32)  # id planes 2 | 3
         ids_ref[:, b * r : (b + 1) * r] = (
-            idb[:, 0 * r : 1 * r]
-            | (idb[:, 1 * r : 2 * r] << 8)
-            | (idb[:, 2 * r : 3 * r] << 16)
-            | (idb[:, 3 * r : 4 * r] << 24)
+            sub0[:, :64]
+            | (sub0[:, 64:] << 8)
+            | (sub1[:, :64] << 16)
+            | (sub1[:, 64:] << 24)
         )
-        nb = rows[:, 4 * r : 8 * r].astype(jnp.int32)
+        nb0 = scratch[:, b, 2, :].astype(jnp.int32)  # norm planes 0 | 1
+        nb1 = scratch[:, b, 3, :].astype(jnp.int32)  # norm planes 2 | 3
         norms = pltpu.bitcast(
-            nb[:, 0 * r : 1 * r]
-            | (nb[:, 1 * r : 2 * r] << 8)
-            | (nb[:, 2 * r : 3 * r] << 16)
-            | (nb[:, 3 * r : 4 * r] << 24),
+            nb0[:, :64]
+            | (nb0[:, 64:] << 8)
+            | (nb1[:, :64] << 16)
+            | (nb1[:, 64:] << 24),
             jnp.float32,
         )  # [tile_q, r]
         # Mosaic has no direct u8 -> f32 cast; widen through i32 (exact)
-        vecs = rows[:, 8 * r :].reshape(tile_q, r, d).astype(jnp.int32).astype(
-            jnp.float32
+        vecs = (
+            scratch[:, b, 4 : 4 + r * dsub, :]
+            .reshape(tile_q, r, dsub, 128)
+            .astype(jnp.int32)
+            .astype(jnp.float32)
         )
         # exact f32 multiply-add on the VPU (u8 vectors are exact in f32;
         # matches l2_distance_to_candidates at Precision.HIGHEST)
-        cross = (qv[:, None, :] * vecs).sum(axis=-1)  # [tile_q, r]
+        cross = (qv4 * vecs).sum(axis=(-1, -2))  # [tile_q, r]
         out_ref[:, b * r : (b + 1) * r] = jnp.maximum(
             norms - 2.0 * cross + q_norm, 0.0
         )
@@ -485,12 +574,27 @@ def exact_frontier_dma(
     happen in VMEM. Covers BANG_Exactdistance's traversal distance fetch
     (parANN.cu:1139-1179).
 
-    queries_f32: [Q, D] f32; rows: [N, 8r+r*d] u8 (UNGATHERED);
-    parents: [Q, beam] i32. Returns (ids [Q, beam*r] i32, dists f32).
+    queries_f32: [Q, D] f32; rows: [N, s, 128] u8
+    (pack_exact_frontier_rows_tiled, UNGATHERED); parents: [Q, beam] i32.
+    Returns (ids [Q, beam*r] i32, dists f32). r=64 and d % 128 == 0 only:
+    the tiled decode maps id/norm planes and vectors onto whole sublanes.
     """
     q = queries_f32.shape[0]
-    row_w = rows.shape[1]
-    assert row_w == 8 * r + r * d, (row_w, r, d)
+    if r != 64:
+        raise ValueError(f"exact_frontier_dma supports r=64 only, got r={r}")
+    if d % 128:
+        raise ValueError(
+            f"exact_frontier_dma needs d % 128 == 0 (whole-sublane vectors), "
+            f"got d={d}"
+        )
+    row_w = 8 * r + r * d
+    s = _dma_sublanes(row_w)
+    if rows.ndim != 3 or rows.shape[1:] != (s, 128):
+        raise ValueError(
+            f"rows must be DMA-tiled [N, {s}, 128] "
+            f"(pack_exact_frontier_rows_tiled) for r={r}, d={d}; got "
+            f"{rows.shape} — flat rows crash this backend's dynamic-row DMA"
+        )
     c = beam * r
     q_pad = -(-q // tile_q) * tile_q
     if q_pad != q:
@@ -512,12 +616,12 @@ def exact_frontier_dma(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_q, beam, row_w), jnp.uint8),
+            pltpu.VMEM((tile_q, beam, s, 128), jnp.uint8),
             pltpu.SemaphoreType.DMA((tile_q, beam)),
         ],
     )
     ids, dists = pl.pallas_call(
-        functools.partial(_exact_frontier_dma_kernel, tile_q, r, d, beam),
+        functools.partial(_exact_frontier_dma_kernel, tile_q, r, d, beam, s),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),

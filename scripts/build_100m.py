@@ -138,6 +138,7 @@ if not os.path.exists(adj_path):
         batch=BATCH, n_passes=N_PASSES, seed=11, ckpt_dir=CKPT,
         init_adj=init_adj, init_deg=init_deg,
     )
+    log("saving adjacency checkpoint (25.6 GB, silent numpy IO)")
     np.save(adj_path, adj)
     np.save(deg_path, degrees)
     log("graph checkpointed")
@@ -156,7 +157,7 @@ if not os.path.exists(PREFIX + "_disk.bin"):
     log("materializing host dataset copy (D2H)")
     data = bigbuild.materialize_host(gen, log=log)
     log("writing _disk.bin (26 GB)")
-    save_graph_index(PREFIX, GraphIndex(data, adj, degrees, medoid))
+    save_graph_index(PREFIX, GraphIndex(data, adj, degrees, medoid), log=log)
     log("disk bundle written")
 
 log(f"DONE: {PREFIX}")

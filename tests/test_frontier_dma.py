@@ -1,9 +1,15 @@
-"""DMA-gather frontier kernel (ops/pq_pallas.frontier_lookup_dma): the
-parent-row gather runs INSIDE the kernel via scalar-prefetched ids + per-row
-async copies, so the fused rows cross HBM once instead of three times
-(XLA-gather write + kernel re-read). Interpret mode on CPU; the same code
-compiles to Mosaic on TPU. Reference behavior covered: the gather+lookup of
-BANG's traversal hot loop (BANG_Base/bang_search.cu:1201-1241).
+"""DMA-gather frontier kernels (ops/pq_pallas.frontier_lookup_dma /
+exact_frontier_dma): the parent-row gather runs INSIDE the kernel via
+scalar-prefetched ids + per-row async copies, so the fused rows cross HBM
+once instead of three times (XLA-gather write + kernel re-read).
+
+Rows must be DMA-TILED [N, s, 128] with s % 8 == 0
+(pack_frontier_rows_tiled): this backend's dynamic-row DMA crashes for any
+other sublane extent (round-5 bisect series — s=8/16 compile and run, s=1
+flat rows and s=9/34/68 abort the compile helper). Interpret mode on CPU;
+the same code compiles to Mosaic on TPU (scripts/exp_dma_tiled.py is the
+hardware probe). Reference behavior covered: the gather+lookup of BANG's
+traversal hot loop (BANG_Base/bang_search.cu:1201-1241).
 """
 
 import jax.numpy as jnp
@@ -11,11 +17,20 @@ import numpy as np
 import pytest
 
 from bang_tpu.ops.pq_pallas import (
+    _dma_sublanes,
     frontier_decode_xla,
     frontier_lookup_dma,
     pack_frontier_rows,
+    pack_frontier_rows_tiled,
     pack_tables,
 )
+
+
+def test_dma_sublanes():
+    assert _dma_sublanes(4352) == 40   # r=64, m=64: 34 raw -> 40
+    assert _dma_sublanes(1280) == 16   # r=64, m=16: 10 raw -> 16
+    assert _dma_sublanes(1024) == 8    # exactly 8 raw stays 8
+    assert _dma_sublanes(8704) == 72   # exact r=64 d=128: 68 raw -> 72
 
 
 @pytest.mark.parametrize("q,beam", [(16, 1), (16, 2), (23, 2)])
@@ -26,7 +41,8 @@ def test_frontier_dma_matches_xla_decode(q, beam):
     n, r, m = 300_000, 64, 16  # n > 2^16 exercises id byte-plane 2
     adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
     codes = rng.integers(0, 256, size=(n, m), dtype=np.uint8)
-    rows = jnp.asarray(pack_frontier_rows(adj, codes))
+    rows_flat = jnp.asarray(pack_frontier_rows(adj, codes))
+    rows = jnp.asarray(pack_frontier_rows_tiled(adj, codes))
     tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32) * 4.0)
     parents = jnp.asarray(rng.integers(0, n, size=(q, beam), dtype=np.int32))
 
@@ -35,7 +51,7 @@ def test_frontier_dma_matches_xla_decode(q, beam):
         tile_q=8, interpret=True,
     )
     want_ids, want_d = frontier_decode_xla(
-        tables, rows[parents], m=m, r=r, beam=beam
+        tables, rows_flat[parents], m=m, r=r, beam=beam
     )
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
     np.testing.assert_allclose(
@@ -45,7 +61,9 @@ def test_frontier_dma_matches_xla_decode(q, beam):
 
 @pytest.mark.parametrize("q,beam", [(16, 1), (21, 2)])
 def test_exact_frontier_dma_matches_xla(q, beam):
-    """ids bit-exact and squared-L2 ~f32-exact vs the XLA decode + einsum."""
+    """ids bit-exact and squared-L2 ~f32-exact vs the XLA decode + einsum.
+    d=128 (the SIFT dim): the tiled exact kernel requires whole-sublane
+    vectors (d % 128 == 0)."""
     import jax.numpy as jnp2
 
     from bang_tpu.ops.l2 import (
@@ -54,14 +72,20 @@ def test_exact_frontier_dma_matches_xla(q, beam):
         pack_exact_frontier_rows,
         squared_norms,
     )
-    from bang_tpu.ops.pq_pallas import exact_frontier_dma
+    from bang_tpu.ops.pq_pallas import (
+        exact_frontier_dma,
+        pack_exact_frontier_rows_tiled,
+    )
 
     rng = np.random.default_rng(7)
-    n, r, d = 90_000, 64, 32
+    n, r, d = 90_000, 64, 128
     vectors = jnp2.asarray(rng.integers(0, 256, size=(n, d), dtype=np.uint8))
     adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
     norms = squared_norms(vectors)
-    rows = pack_exact_frontier_rows(jnp2.asarray(adj), vectors, norms)
+    rows_flat = pack_exact_frontier_rows(jnp2.asarray(adj), vectors, norms)
+    rows = jnp2.asarray(
+        pack_exact_frontier_rows_tiled(jnp2.asarray(adj), vectors, norms)
+    )
     queries = jnp2.asarray(rng.normal(size=(q, d)).astype(np.float32) * 80)
     parents = jnp2.asarray(rng.integers(0, n, size=(q, beam), dtype=np.int32))
 
@@ -69,7 +93,7 @@ def test_exact_frontier_dma_matches_xla(q, beam):
         queries, rows, parents, r=r, d=d, beam=beam, tile_q=8, interpret=True
     )
     want_ids, want_norms, want_vecs = decode_exact_frontier_rows(
-        rows[parents], r, d
+        rows_flat[parents], r, d
     )
     want_d = l2_distance_to_candidates(queries, want_vecs, want_norms)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
@@ -84,7 +108,7 @@ def test_frontier_dma_ids_match_adjacency():
     n, r, m, q = 70_000, 64, 8, 8
     adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
     codes = rng.integers(0, 256, size=(n, m), dtype=np.uint8)
-    rows = jnp.asarray(pack_frontier_rows(adj, codes))
+    rows = jnp.asarray(pack_frontier_rows_tiled(adj, codes))
     tables = jnp.asarray(rng.normal(size=(q, m, 256)).astype(np.float32))
     parents = jnp.asarray(rng.integers(0, n, size=(q, 1), dtype=np.int32))
     ids, _ = frontier_lookup_dma(
@@ -94,3 +118,22 @@ def test_frontier_dma_ids_match_adjacency():
     np.testing.assert_array_equal(
         np.asarray(ids), adj[np.asarray(parents)[:, 0]]
     )
+
+
+def test_frontier_dma_rejects_flat_rows():
+    """Flat rows (the layout that crashes the backend's DMA) are rejected
+    loudly, as are unsupported r."""
+    rng = np.random.default_rng(8)
+    n, r, m, q = 1000, 64, 8, 8
+    adj = rng.integers(0, n, size=(n, r), dtype=np.int32)
+    codes = rng.integers(0, 256, size=(n, m), dtype=np.uint8)
+    flat = jnp.asarray(pack_frontier_rows(adj, codes))
+    tables = pack_tables(jnp.zeros((q, m, 256), jnp.float32))
+    parents = jnp.zeros((q, 1), jnp.int32)
+    with pytest.raises(ValueError, match="DMA-tiled"):
+        frontier_lookup_dma(tables, flat, parents, m=m, r=r, beam=1,
+                            interpret=True)
+    tiled = jnp.asarray(pack_frontier_rows_tiled(adj, codes))
+    with pytest.raises(ValueError, match="r=64"):
+        frontier_lookup_dma(tables, tiled, parents, m=m, r=32, beam=1,
+                            interpret=True)
