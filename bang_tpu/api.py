@@ -116,6 +116,15 @@ class BANGSearch:
         if self.dist_func == ENUM_DIST_MIPS and queries.shape[1] == self._dim() - 1:
             queries = preprocess_queries_mips(queries)
         nq = queries.shape[0]
+        if self._compiled_for is None:
+            # no bang_alloc for this (params, shape): this call will pay the
+            # compile inside its own wall time — loud, so a benchmark can't
+            # silently fold compilation into QPS (the reference excludes
+            # cudaMalloc the same way, test_driver.cpp:421-435)
+            log_message(
+                f"bang_query compiling for shape Q={nq} (no bang_alloc after "
+                "the last bang_set_searchparams; timing includes compile)"
+            )
         if self._compiled_for is not None:
             cap = self._compiled_for[0]
             if nq > cap:
