@@ -32,8 +32,14 @@ from bang_tpu.models.inmemory import search_inmemory
 from bang_tpu.utils.config import SearchParams
 from bang_tpu.utils.recall import calculate_recall
 
-PREFIX = "bench_data/synth_v2_n1000000_d128_r64_m64_vamana"
-L, BEAM, EXTRA, NQ, K = 11, 2, 11, 10_000, 10
+import os
+
+PREFIX = os.environ.get(
+    "BLOOM_PREFIX", "bench_data/synth_v2_n1000000_d128_r64_m64_vamana"
+)
+L = int(os.environ.get("BLOOM_L", 11))
+BEAM, EXTRA, K = 2, 11, 10
+NQ = int(os.environ.get("BLOOM_NQ", 10_000))
 
 
 def log(msg):
