@@ -61,14 +61,15 @@ if [ "$BUILD_OK" = 1 ] && [ "$(left)" -gt 900 ]; then
   # adaptive grid: the R=64 graph's recall knee is expected near L~100
   # (r3's R=32 graph needed 512; DiskANN-quality degree halves that); with
   # a tight window skip the bracketing points
-  if [ "$(left)" -gt 3300 ]; then GRID="60 100 150 220 300"
+  PROBE=""
+  if [ "$(left)" -gt 3300 ]; then GRID="60 100 150 220 300"; PROBE="--probe-sampled-entry"
   elif [ "$(left)" -gt 2100 ]; then GRID="100 150 220"
   else GRID="100"; fi
-  say "BASE100M eval (budget ${B}s, grid $GRID)"
+  say "BASE100M eval (budget ${B}s, grid $GRID $PROBE)"
   python scripts/watchdog_run.py --log /tmp/base100m_r05.log --stall 900 \
     --max-restarts 1 --budget "$B" -- \
     python -u scripts/run_eval.py --prefix "$P" --variant base \
-      --grid $GRID --beam 2 --extra 24 \
+      --grid $GRID --beam 2 --extra 24 $PROBE \
       --note "r05 R=64 20-shard vamana; RAM-resident graph" \
       --out BASE100M_r05.json || say "BASE100M eval failed"
   commit_art BASE100M_r05.json \
