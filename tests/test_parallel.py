@@ -154,19 +154,21 @@ def test_sharded_base_pallas_lookup_matches_xla(tiny_index):
 
 
 
-def test_sharded_fused_frontier_matches_scattered(dataset):
+@pytest.mark.parametrize("r", [64, 32])
+def test_sharded_fused_frontier_matches_scattered(dataset, r):
     """Fused frontier rows (ids + codes in ONE gather per parent, the
-    single-chip preferred layout at R % 64 == 0) now flow through the
-    node-sharded path: same traversal as the scattered baseline (round-3
-    verdict: the multi-chip path was one layout behind the tuned op point)."""
+    single-chip preferred layout) flow through the node-sharded path: same
+    traversal as the scattered baseline (round-3 verdict: the multi-chip
+    path was one layout behind the tuned op point). r=32 covers the tuned
+    layout unlocked by _frontier_kernel_r32 (round 5)."""
     data, queries, gt_ids, gt_dists = dataset
     mesh = make_mesh(2, 4)
-    si_plain = build_sharded_index(data, n_shards=4, r=64, m=16, seed=7)
+    si_plain = build_sharded_index(data, n_shards=4, r=r, m=16, seed=7)
     si_fused = build_sharded_index(
-        data, n_shards=4, r=64, m=16, seed=7, fused_frontier=True
+        data, n_shards=4, r=r, m=16, seed=7, fused_frontier=True
     )
     assert si_fused.fused_rows is not None
-    assert si_fused.fused_rows.shape == (4, data.shape[0] // 4, 64 * (4 + 16))
+    assert si_fused.fused_rows.shape == (4, data.shape[0] // 4, r * (4 + 16))
     params = SearchParams(L=48, k=10, pq_impl="xla")
     ids_a, dists_a = search_sharded(mesh, si_plain, queries, params)
     ids_b, dists_b = search_sharded(mesh, si_fused, queries, params)
