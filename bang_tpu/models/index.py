@@ -159,7 +159,18 @@ def build_device_index(
         assert graph is not None and pq is not None and pq.codes is not None
         adj_host = graph.adj
         n_rows, r = adj_host.shape
-        if r % 64 and r != 32:
+        dma_tiled = fused_frontier == "dma"
+        if dma_tiled:
+            # DMA-tiled layout [N, s, 128] (s % 8 == 0): the only row shape
+            # this backend's in-kernel dynamic-row DMA accepts — enables
+            # pq_impl='pallas_dma' (rows cross HBM once). r=64 envelope.
+            if r != 64 or codes.shape[1] % 2:
+                raise ValueError(
+                    "fused_frontier='dma' requires R == 64 and m % 2 == 0 "
+                    f"(got R={r}, m={codes.shape[1]}) — see "
+                    "ops/pq_pallas.frontier_lookup_dma"
+                )
+        elif r % 64 and r != 32:
             raise ValueError(
                 f"fused frontier rows require R % 64 == 0 or R == 32 (got "
                 f"R={r}); use the nbr_codes layout instead — see the Mosaic "
@@ -176,6 +187,10 @@ def build_device_index(
 
         m = codes.shape[1]
         row_w = 4 * r + m * r
+        if dma_tiled:
+            from bang_tpu.ops.pq_pallas import _dma_sublanes
+
+            sublanes = _dma_sublanes(row_w)
         blk = min(n_rows, max(4096, (256 * 1024**2) // max(1, r * 128)))
 
         @jax.jit
@@ -183,13 +198,20 @@ def build_device_index(
             planes = pack_adj_planes(a_blk)  # [B, 4R] u8, plane-major LE
             g = c[a_blk]  # [B, R, m] u8
             cm = jnp.swapaxes(g, 1, 2).reshape(a_blk.shape[0], m * r)
-            return jnp.concatenate([planes, cm], axis=1)
+            flat = jnp.concatenate([planes, cm], axis=1)
+            if dma_tiled:  # zero-pad to 8-aligned sublanes, tile to [B,s,128]
+                b = a_blk.shape[0]
+                pad = jnp.zeros((b, sublanes * 128 - row_w), jnp.uint8)
+                return jnp.concatenate([flat, pad], 1).reshape(b, sublanes, 128)
+            return flat
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _write_fused(buf, rows_blk, s):
-            return jax.lax.dynamic_update_slice(buf, rows_blk, (s, 0))
+            idx = (s, 0, 0) if dma_tiled else (s, 0)
+            return jax.lax.dynamic_update_slice(buf, rows_blk, idx)
 
-        fused_rows = jnp.zeros((n_rows, row_w), jnp.uint8)
+        shape = (n_rows, sublanes, 128) if dma_tiled else (n_rows, row_w)
+        fused_rows = jnp.zeros(shape, jnp.uint8)
         starts = list(range(0, n_rows - blk + 1, blk))
         if n_rows % blk:
             starts.append(n_rows - blk)  # final block overlaps, same values

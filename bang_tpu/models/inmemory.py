@@ -59,10 +59,14 @@ def _search_inmemory_jit(
         adj = PlaneAdjacency(adj_planes)
     elif adj is None and fused_rows is not None:
         # fused-frontier mode keeps NO adjacency table at all (the fused
-        # rows carry the ids); make_step only needs R
+        # rows carry the ids); make_step only needs R. DMA-tiled tables
+        # ([N, s, 128], s padded to 8 sublanes) are r=64-only, so r is not
+        # recoverable from their shape.
         from bang_tpu.ops.adjacency import FrontierOnlyAdj
 
-        adj = FrontierOnlyAdj(fused_rows.shape[1] // (4 + codes.shape[1]))
+        r = (64 if fused_rows.ndim == 3
+             else fused_rows.shape[1] // (4 + codes.shape[1]))
+        adj = FrontierOnlyAdj(r)
     distance_fn = make_pq_distance_fn(
         queries_f32, codebook, codes, impl=pq_impl, nbr_codes=nbr_codes,
         fused_rows=fused_rows,

@@ -120,6 +120,39 @@ def test_frontier_dma_ids_match_adjacency():
     )
 
 
+def test_dma_tiled_index_end_to_end(tmp_path):
+    """build_device_index(fused_frontier='dma') stores the tiled layout, no
+    resident adjacency, and the gather-path search over the tiled table
+    (pad sliced off post-gather) matches the plain scattered index — the
+    same traversal a TPU would run with pq_impl='pallas_dma' minus the
+    in-kernel DMA."""
+    from bang_tpu.formats.bin_io import load_bin
+    from bang_tpu.formats.synthetic import build_synthetic_index
+    from bang_tpu.formats.graph import load_graph_index
+    from bang_tpu.formats.pq import load_pq
+    from bang_tpu.models.index import build_device_index, device_index_from_files
+    from bang_tpu.models.inmemory import search_inmemory
+    from bang_tpu.ops.pq_pallas import _dma_sublanes
+    from bang_tpu.utils.config import SearchParams
+
+    info = build_synthetic_index(
+        str(tmp_path / "dx"), n=3000, dim=32, r=64, m=8, n_queries=32, seed=13
+    )
+    prefix = info["prefix"]
+    graph, pq = load_graph_index(prefix), load_pq(prefix)
+    idx_dma = build_device_index(graph=graph, pq=pq, fused_frontier="dma")
+    s = _dma_sublanes(64 * (4 + 8))
+    assert idx_dma.fused_rows.shape == (3000, s, 128)
+    assert idx_dma.adj is None and idx_dma.adj_planes is None
+
+    idx_plain = device_index_from_files(prefix, neighbor_codes=False)
+    queries = load_bin(prefix + "_query.bin", np.float32)[:32]
+    for beam in (1, 2):
+        params = SearchParams(L=32, k=10, beam_width=beam)
+        ids_a, _, _ = search_inmemory(idx_plain, queries, params)
+        ids_b, _, _ = search_inmemory(idx_dma, queries, params)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
 def test_frontier_dma_rejects_flat_rows():
     """Flat rows (the layout that crashes the backend's DMA) are rejected
     loudly, as are unsupported r."""
