@@ -378,9 +378,15 @@ def make_pq_distance_fn(
         use_pallas_default,
     )
 
-    if impl == "auto":
+    auto = impl == "auto"
+    if auto:
         impl = "pallas" if use_pallas_default() else "xla"
     dma_frontier = impl == "pallas_dma"
+    if (auto and impl == "pallas" and fused_rows is not None
+            and fused_rows.ndim == 3):
+        # an index built with the DMA-tiled layout (fused_frontier='dma')
+        # opted into the in-kernel-DMA frontier; honor it under 'auto'
+        dma_frontier = True
     if dma_frontier:
         # pallas_dma is an explicit request for the in-kernel-DMA frontier;
         # degrading silently would mislabel every benchmark run against it
