@@ -240,6 +240,52 @@ def exact_stage(n=800_000, r=64, d=128, q=10_000, beam=2):
     return out
 
 
+def e2e_stage(prefix="bench_data/synth_v2_n1000000_d128_r64_m64_vamana",
+              L=11, beam=2, extra=11, nq=10_000):
+    """End-to-end search A/B at the 1M headline op point: the flat fused
+    index (gather + decode kernel) vs the DMA-tiled index (in-kernel DMA,
+    selected by 'auto' for tiled tables). Decides whether the tiled layout
+    should become the build default at r=64."""
+    import bench
+    from bang_tpu.formats.graph import load_graph_index
+    from bang_tpu.formats.pq import load_pq
+    from bang_tpu.models.index import (
+        build_device_index, device_index_from_files, free_device_index,
+    )
+    from bang_tpu.models.inmemory import search_inmemory
+    from bang_tpu.utils.config import SearchParams
+    from bang_tpu.utils.recall import calculate_recall
+
+    out = {"L": L, "beam": beam, "extra": extra}
+    queries, gt_ids, gt_dists = bench.load_bundle(prefix, nq)
+    params = SearchParams(L=L, k=10, beam_width=beam, extra_iters=extra)
+    graph, pq = load_graph_index(prefix), load_pq(prefix)
+    for name in ("flat", "dma"):
+        if name == "flat":
+            index = device_index_from_files(prefix)  # auto: flat fused rows
+        else:
+            index = build_device_index(graph=graph, pq=pq,
+                                       fused_frontier="dma")
+        ids, _d, _s = search_inmemory(index, queries, params)  # compile+warm
+        jax.block_until_ready(ids)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids, _d, _s = search_inmemory(index, queries, params)
+            jax.block_until_ready(ids)
+            reps.append(time.perf_counter() - t0)
+        out[name] = {
+            "recall": round(calculate_recall(gt_ids, np.asarray(ids), 10,
+                                             gt_dists), 2),
+            "qps": round(nq / min(reps), 1),
+            "rep_s": [round(x, 4) for x in reps],
+        }
+        log(f"e2e {name}: {out[name]}")
+        free_device_index(index)
+    out["dma_speedup_e2e"] = round(out["dma"]["qps"] / out["flat"]["qps"], 3)
+    return out
+
+
 def main():
     t0 = time.time()
     for s in (40, 72):
@@ -258,6 +304,13 @@ def main():
             RESULTS["exact_1m"] = exact_stage()
         except Exception as e:  # noqa: BLE001
             RESULTS["exact_1m"] = {"error": str(e).splitlines()[0][:300]}
+    ok_kernel = isinstance(RESULTS.get("frontier_1m"), dict) and \
+        RESULTS["frontier_1m"].get("ids_exact") is True
+    if ok_kernel:
+        try:
+            RESULTS["e2e_1m"] = e2e_stage()
+        except Exception as e:  # noqa: BLE001
+            RESULTS["e2e_1m"] = {"error": str(e).splitlines()[0][:300]}
     RESULTS["wall_s"] = round(time.time() - t0, 1)
     RESULTS["iters"] = ITERS
     dst = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/DMA_TILED_r05.json"
