@@ -875,50 +875,58 @@ def main():
         else:
             log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
 
-    # ---- 100M base row: the reference's identity configuration ----
-    # (runs before the breadth rows: with the R=64 graph this is the
+    # ---- big base row: the reference's identity configuration ----
+    # (runs before the breadth rows: with an R=64 graph this is the
     # round's primary evidence row and must not be starved by the time
-    # budget; bundle produced by scripts/build_100m.py, the sharded builder)
-    # prefer the R=64 graph (DiskANN-quality degree: recall ~0.9 near L~100)
-    # over the first-cut single-pass R=32 one (needs MAX_L=512 for ~0.9 —
-    # full curve in BASE100M_r03.json)
-    _cands = (
-        ("synthg_v1_n100000000_d128_r64_m32_shardvamana", (60, 100, 150)),
-        ("synthg_v1_n100000000_d128_r32_m32_shardvamana", (90, 180, 512)),
-    )
-    p100, grid100 = None, None
-    for _name, _grid in _cands:
-        _p = os.path.join(CACHE, _name)
-        if os.path.exists(_p + "_gt.bin") and os.path.exists(_p + "_disk.bin"):
-            p100, grid100 = _p, _grid
-            break
-    if not FAST and p100 is not None and not over_budget("base100m"):
+    # budget; bundles produced by scripts/build_100m.py, the sharded
+    # builder, at whatever N the session's window fit — discover them by
+    # glob and sweep the largest, preferring the R=64 DiskANN-quality
+    # degree (recall ~0.9 near L~100) over the first-cut single-pass R=32
+    # one (needs MAX_L=512 for ~0.9 — full curve in BASE100M_r03.json))
+    import glob as _glob
+    import re as _re
+
+    _cands = []
+    for _p in _glob.glob(os.path.join(CACHE, "synthg_v1_n*_shardvamana_disk.bin")):
+        _pref = _p[: -len("_disk.bin")]
+        _mt = _re.search(r"_n(\d+)_d\d+_r(\d+)_m\d+_", _pref)
+        if _mt and os.path.exists(_pref + "_gt.bin"):
+            _n, _r = int(_mt.group(1)), int(_mt.group(2))
+            _cands.append((_n, _r, _pref))
+    _cands.sort(reverse=True)  # largest N first, then highest R
+    if not FAST and _cands and not over_budget("base_big"):
+        _n, _r, pbig = _cands[0]
+        gridbig = (60, 100, 150) if _r >= 64 else (90, 180, 512)
+        # key stays scale-honest: "base100m" only when N really is 100M
+        _key = f"base{_n // 1_000_000}m"
         try:
             from bang_tpu.formats.bin_io import load_bin_auto, load_truthset
 
-            q100 = load_bin_auto(p100 + "_query.bin", np.uint8).astype(np.float32)[:Q]
-            g100i, g100d = load_truthset(p100 + "_gt.bin")
-            # mmap=False: the packed graph (26-39 GB) fits host RAM (the
-            # reference's own configuration, bang_search.cu:311-328),
+            q100 = load_bin_auto(pbig + "_query.bin", np.uint8).astype(np.float32)[:Q]
+            g100i, g100d = load_truthset(pbig + "_gt.bin")
+            # mmap=False: the packed graph (26-39 GB at 100M) fits host RAM
+            # (the reference's own configuration, bang_search.cu:311-328),
             # avoiding page-fault-bound host gathers.
             row100 = sweep_base(
-                p100, q100, g100i[:Q], g100d[:Q],
-                grid=grid100, beam=2, extra=24, mmap=False,
+                pbig, q100, g100i[:Q], g100d[:Q],
+                grid=gridbig, beam=2, extra=24, mmap=False,
             )
-            result["base100m"] = row100
+            result[_key] = row100
             if row100 and row100.get("recall", 0) < TARGET_RECALL and not \
-                    over_budget("base100m_tuned"):
+                    over_budget(_key + "_tuned"):
                 # last-L fell short (e.g. the R=32 graph converges at 89.75
                 # @ MAX_L): push with sampled entries + a wider beam at the
                 # same L before conceding the target
-                result["base100m_tuned"] = sweep_base(
-                    p100, q100, g100i[:Q], g100d[:Q],
+                result[_key + "_tuned"] = sweep_base(
+                    pbig, q100, g100i[:Q], g100d[:Q],
                     grid=(row100["L"],), beam=4, extra=48, mmap=False,
                     entry_mode="sampled",
                 )
         except Exception as e:  # pragma: no cover
-            log(f"base100m failed: {e}")
-            result["base100m"] = {"error": str(e)}
+            log(f"{_key} failed: {e}")
+            result[_key] = {"error": str(e)}
+    else:
+        _key = "base100m"  # for the ratio lookup below
 
     # ---- breadth rows: high-dim + MIPS ----
     if not FAST and not over_budget("breadth"):
@@ -996,11 +1004,12 @@ def main():
     best10 = max((q for q in cands_10m if q), default=None)
     if best10:
         result["vs_baseline_10m"] = round(best10 / BASELINE_QPS, 4)
-    q100m = _best_qps(result.get("base100m")) or _best_qps(
-        result.get("base100m_tuned")
+    q100m = _best_qps(result.get(_key)) or _best_qps(
+        result.get(_key + "_tuned")
     )
     if q100m:
-        result["vs_baseline_100m"] = round(q100m / BASELINE_QPS, 4)
+        # scale-honest ratio name: vs_baseline_100m only at true 100M
+        result["vs_baseline_" + _key[4:]] = round(q100m / BASELINE_QPS, 4)
 
     print(json.dumps(result))
 

@@ -1,0 +1,116 @@
+#!/bin/bash
+# Round-5 session-2 TPU chain (the 19:28 UTC machine reset wiped bench_data/
+# — every bundle, checkpoint and the compile cache — while the 100M R=64
+# build and the armed eval queue were in flight; see PROGRESS.md). This
+# session's window (~6h) cannot refit the 100M graph stage (20 shards x
+# ~19 min measured), so the largest deadline-fitting R=64 build (40M,
+# 8 x 10M-member shards — the known-good sizing) runs first, then:
+#   1. BASE40M_r05.json   — base-variant sweep to >=0.9 recall@10 at 40M
+#                           (verdict r04 #1 at the scale this window fits)
+#   2. DMA_TILED_r05.json — DMA-tiled frontier kernel probe (verdict #2;
+#                           self-contained, generates data on device)
+#   3. BENCH_r05_builder.json — full builder bench (rebuilds the 1M bundles
+#                           + breadth rows, warms the compile cache so the
+#                           driver's end-of-round bench lands fast)
+#   4. BLOOM_r05.json     — bloom visited-mode A/B (needs the 1M bundle
+#                           from step 3)
+# Each artifact commits the moment it lands. disarm_at protects the
+# driver's bench window.
+set -u
+mkdir -p /tmp/tpu_pids; echo $$ > /tmp/tpu_pids/chain_r5d.pid
+cd /root/repo
+P=bench_data/synthg_v1_n40000000_d128_r64_m32_shardvamana
+LOG=/tmp/chain_r5d.log
+DEADLINE=${CHAIN_R5D_DEADLINE:-$(date -d "2026-08-20 01:15:00 UTC" +%s)}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+say() { echo "[chainR5d] $1 $(date -u +%H:%M:%S) left=$(left)s" >>"$LOG"; }
+
+say "start; waiting for 40M build (watchdog $(cat /tmp/b100_wd.pid 2>/dev/null))"
+BUILD_OK=0
+while true; do
+  if grep -q "^DONE:" /tmp/b100.log 2>/dev/null && [ -f "${P}_disk.bin" ]; then
+    BUILD_OK=1; break
+  fi
+  WD=$(cat /tmp/b100_wd.pid 2>/dev/null || echo 0)
+  if [ "$WD" = 0 ] || ! kill -0 "$WD" 2>/dev/null; then
+    say "build watchdog gone without DONE"; break
+  fi
+  if [ "$(left)" -lt 1500 ]; then
+    say "deadline too close; stopping the build to free the tunnel"
+    kill -- -"$(cat /tmp/b100_wd.pid 2>/dev/null)" 2>/dev/null
+    kill "$WD" 2>/dev/null
+    sleep 20
+    break
+  fi
+  sleep 60
+done
+say "build wait over (ok=$BUILD_OK)"
+
+commit_art() {  # commit_art <file> <msg>
+  if [ -s "$1" ]; then
+    git add "$1" && git commit -q -m "$2" && say "committed $1" \
+      || say "commit of $1 failed"
+  else
+    say "$1 missing/empty; not committed"
+  fi
+}
+
+# ---- 1. 40M base sweep (only if the bundle landed) ----
+if [ "$BUILD_OK" = 1 ] && [ "$(left)" -gt 1200 ]; then
+  B=$(( $(left) - 900 )); [ "$B" -gt 3600 ] && B=3600
+  # R=64 DiskANN-quality degree: recall knee expected near L~100
+  PROBE=""
+  if [ "$(left)" -gt 5400 ]; then GRID="60 100 150 220"; PROBE="--probe-sampled-entry"
+  elif [ "$(left)" -gt 3600 ]; then GRID="60 100 150"
+  else GRID="100 150"; fi
+  say "BASE40M eval (budget ${B}s, grid $GRID $PROBE)"
+  python scripts/watchdog_run.py --log /tmp/base40m_r05.log --stall 900 \
+    --max-restarts 1 --budget "$B" -- \
+    python -u scripts/run_eval.py --prefix "$P" --variant base \
+      --grid $GRID --beam 2 --extra 24 $PROBE \
+      --note "r05 40M R=64 8-shard vamana (largest deadline-fitting R=64 build after the 19:28 UTC reset wiped the in-flight 100M); RAM-resident graph" \
+      --out BASE40M_r05.json || say "BASE40M eval failed"
+  commit_art BASE40M_r05.json \
+    "40M R=64 base-variant evaluation (BASE40M_r05.json)"
+fi
+
+# ---- 2. DMA-tiled kernel probe (self-contained) ----
+if [ "$(left)" -gt 1400 ]; then
+  say "DMA tiled probe"
+  python scripts/watchdog_run.py --log /tmp/dma_tiled.log --stall 600 \
+    --max-restarts 1 --budget $(( $(left) - 240 > 1500 ? 1500 : $(left) - 240 )) -- \
+    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
+    || say "DMA probe failed"
+  commit_art DMA_TILED_r05.json \
+    "DMA-tiled frontier kernel TPU probe (DMA_TILED_r05.json)"
+fi
+
+# ---- 3. full builder bench (rebuilds 1M bundles, warms compile cache) ----
+if [ "$(left)" -gt 1500 ]; then
+  B=$(( $(left) - 600 )); [ "$B" -gt 3600 ] && B=3600
+  say "full bench (budget ${B}s)"
+  BENCH_TIME_BUDGET=$(( B - 240 )) timeout "$B" \
+    python -u bench.py > /tmp/bench_r05_out.json 2>/tmp/bench_r05.log \
+    || say "bench exited nonzero"
+  if [ -s /tmp/bench_r05_out.json ]; then
+    tail -1 /tmp/bench_r05_out.json > BENCH_r05_builder.json
+    commit_art BENCH_r05_builder.json \
+      "Builder-captured round-5 scoreboard (BENCH_r05_builder.json)"
+  else
+    say "no bench output"
+  fi
+fi
+
+# ---- 4. bloom visited-mode A/B at the 1M headline point ----
+if [ "$(left)" -gt 800 ] && [ -f bench_data/synth_v2_n1000000_d128_r64_m64_vamana_gt.bin ]; then
+  say "bloom A/B"
+  python scripts/watchdog_run.py --log /tmp/bloom_r05.log --stall 600 \
+    --max-restarts 1 --budget 700 -- \
+    python -u scripts/exp_bloom.py /root/repo/BLOOM_r05.json \
+    || say "bloom A/B failed"
+  commit_art BLOOM_r05.json \
+    "Bloom visited-mode A/B at the 1M headline point (BLOOM_r05.json)"
+fi
+
+say "chain done"
+rm -f /tmp/tpu_pids/chain_r5d.pid
