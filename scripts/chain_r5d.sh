@@ -9,11 +9,13 @@
 #                           (verdict r04 #1 at the scale this window fits)
 #   2. DMA_TILED_r05.json — DMA-tiled frontier kernel probe (verdict #2;
 #                           self-contained, generates data on device)
-#   3. BENCH_r05_builder.json — full builder bench (rebuilds the 1M bundles
-#                           + breadth rows, warms the compile cache so the
-#                           driver's end-of-round bench lands fast)
-#   4. BLOOM_r05.json     — bloom visited-mode A/B (needs the 1M bundle
-#                           from step 3)
+#   3. 1M headline bundle prebuild (~4 min) — so bloom can run tonight and
+#                           the driver's end-of-round bench (its own 6000s
+#                           budget rebuilds everything else) skips the build
+#   4. BLOOM_r05.json     — bloom visited-mode A/B (needs the 1M bundle)
+#   5. BENCH_r05_builder.json — full builder bench, LAST, only if time
+#                           remains (pure insurance: the driver runs the
+#                           same bench in its own window after disarm)
 # Each artifact commits the moment it lands. disarm_at protects the
 # driver's bench window.
 set -u
@@ -85,7 +87,65 @@ if [ "$(left)" -gt 1400 ]; then
     "DMA-tiled frontier kernel TPU probe (DMA_TILED_r05.json)"
 fi
 
-# ---- 3. full builder bench (rebuilds 1M bundles, warms compile cache) ----
+# ---- 3. 1M headline bundle prebuild (cheap; unblocks bloom + driver) ----
+PB=bench_data/synth_v2_n1000000_d128_r64_m64_vamana
+if [ "$(left)" -gt 900 ] && [ ! -f "${PB}_gt.bin" ]; then
+  say "1M bundle prebuild"
+  timeout 900 python - >>"$LOG" 2>&1 <<'PYEOF' || say "1M prebuild failed"
+import sys; sys.path.insert(0, "/root/repo")
+import bench
+bench.build_bundle(
+    "bench_data/synth_v2_n1000000_d128_r64_m64_vamana",
+    1_000_000, 128, 64, 64, "vamana", 10_000, l_build=48, build_batch=4096)
+print("1M bundle built")
+PYEOF
+fi
+
+# ---- 4. bloom visited-mode A/B at the 1M headline point ----
+if [ "$(left)" -gt 800 ] && [ -f "${PB}_gt.bin" ]; then
+  say "bloom A/B"
+  python scripts/watchdog_run.py --log /tmp/bloom_r05.log --stall 600 \
+    --max-restarts 1 --budget 700 -- \
+    python -u scripts/exp_bloom.py /root/repo/BLOOM_r05.json \
+    || say "bloom A/B failed"
+  commit_art BLOOM_r05.json \
+    "Bloom visited-mode A/B at the 1M headline point (BLOOM_r05.json)"
+fi
+
+# ---- 5. 10M rebuild + tuned fused-R32 sweep (only when genuinely early) ----
+# Restores the scale-matched headline story (the reset wiped the 10M
+# bundles): source R=64/m=64 bundle (~43 min), tuned R=32/m=32 conversion
+# (warm-started), then the fused-R32 sweep the wiped chain_r5 queued.
+# With the bundles on disk, the driver's end-of-round bench also runs its
+# scale10m rows automatically.
+P10=bench_data/synth_v2_n10000000_d128_r64_m64_vamana
+PT=bench_data/synth_v2_n10000000_d128_r32_m32_vamana
+if [ "$(left)" -gt 6000 ] && [ ! -f "${P10}_gt.bin" ]; then
+  say "10M source build"
+  python scripts/watchdog_run.py --log /tmp/b10src.log --stall 900 \
+    --max-restarts 1 --budget $(( $(left) - 2400 )) -- \
+    python -u scripts/build_10m_source.py || say "10M source build failed"
+fi
+if [ "$(left)" -gt 2700 ] && [ -f "${P10}_gt.bin" ] && [ ! -f "${PT}_gt.bin" ]; then
+  say "10M tuned build"
+  python scripts/watchdog_run.py --log /tmp/b10tuned.log --stall 900 \
+    --max-restarts 1 --budget $(( $(left) - 1500 )) -- \
+    python -u scripts/build_10m_tuned.py || say "10M tuned build failed"
+fi
+if [ "$(left)" -gt 1500 ] && [ -f "${PT}_gt.bin" ]; then
+  say "SCALE10M fused eval"
+  python scripts/watchdog_run.py --log /tmp/scale10m_fused.log --stall 900 \
+    --max-restarts 1 --budget $(( $(left) - 600 > 1800 ? 1800 : $(left) - 600 )) -- \
+    python -u scripts/run_eval.py \
+      --prefix "$PT" --queries-from "$P10" \
+      --variant inmemory --grid 25 30 40 60 --refine \
+      --note "r05 fused frontier rows at R=32 (_frontier_kernel_r32)" \
+      --out SCALE10M_FUSED_r05.json || say "scale10m fused failed"
+  commit_art SCALE10M_FUSED_r05.json \
+    "Tuned-10M re-sweep on fused R=32 frontier rows (SCALE10M_FUSED_r05.json)"
+fi
+
+# ---- 6. full builder bench (insurance; the driver reruns it after disarm) ----
 if [ "$(left)" -gt 1500 ]; then
   B=$(( $(left) - 600 )); [ "$B" -gt 3600 ] && B=3600
   say "full bench (budget ${B}s)"
@@ -99,17 +159,6 @@ if [ "$(left)" -gt 1500 ]; then
   else
     say "no bench output"
   fi
-fi
-
-# ---- 4. bloom visited-mode A/B at the 1M headline point ----
-if [ "$(left)" -gt 800 ] && [ -f bench_data/synth_v2_n1000000_d128_r64_m64_vamana_gt.bin ]; then
-  say "bloom A/B"
-  python scripts/watchdog_run.py --log /tmp/bloom_r05.log --stall 600 \
-    --max-restarts 1 --budget 700 -- \
-    python -u scripts/exp_bloom.py /root/repo/BLOOM_r05.json \
-    || say "bloom A/B failed"
-  commit_art BLOOM_r05.json \
-    "Bloom visited-mode A/B at the 1M headline point (BLOOM_r05.json)"
 fi
 
 say "chain done"
