@@ -138,6 +138,26 @@ def prefix_for(name, n, d, r, m, graph):
     return os.path.join(CACHE, f"{name}_{DATA_VERSION}_n{n}_d{d}_r{r}_m{m}_{graph}")
 
 
+def discover_big_base(cache):
+    """Find complete sharded-builder bundles (scripts/build_100m.py output)
+    in `cache`, largest N first (ties: highest degree R). Returns a list of
+    (n, r, prefix) — the big-base bench row sweeps the first entry. Glob
+    rather than a hard-coded 100M prefix: the builder writes whatever scale
+    the session's window fits (machine resets have wiped bench_data/ three
+    rounds running — see PROGRESS.md)."""
+    import glob as _glob
+    import re as _re
+
+    cands = []
+    for p in _glob.glob(os.path.join(cache, "synthg_v1_n*_shardvamana_disk.bin")):
+        pref = p[: -len("_disk.bin")]
+        mt = _re.search(r"_n(\d+)_d\d+_r(\d+)_m\d+_", pref)
+        if mt and os.path.exists(pref + "_gt.bin"):
+            cands.append((int(mt.group(1)), int(mt.group(2)), pref))
+    cands.sort(reverse=True)
+    return cands
+
+
 def build_bundle(
     prefix, n, d, r, m, graph, n_queries, dtype=np.uint8, mips=False,
     seed=0, l_build=48, build_batch=4096, query_noise=2.0,
@@ -883,17 +903,7 @@ def main():
     # glob and sweep the largest, preferring the R=64 DiskANN-quality
     # degree (recall ~0.9 near L~100) over the first-cut single-pass R=32
     # one (needs MAX_L=512 for ~0.9 — full curve in BASE100M_r03.json))
-    import glob as _glob
-    import re as _re
-
-    _cands = []
-    for _p in _glob.glob(os.path.join(CACHE, "synthg_v1_n*_shardvamana_disk.bin")):
-        _pref = _p[: -len("_disk.bin")]
-        _mt = _re.search(r"_n(\d+)_d\d+_r(\d+)_m\d+_", _pref)
-        if _mt and os.path.exists(_pref + "_gt.bin"):
-            _n, _r = int(_mt.group(1)), int(_mt.group(2))
-            _cands.append((_n, _r, _pref))
-    _cands.sort(reverse=True)  # largest N first, then highest R
+    _cands = discover_big_base(CACHE)
     if not FAST and _cands and not over_budget("base_big"):
         _n, _r, pbig = _cands[0]
         gridbig = (60, 100, 150) if _r >= 64 else (90, 180, 512)
