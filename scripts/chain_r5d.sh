@@ -76,18 +76,8 @@ if [ "$BUILD_OK" = 1 ] && [ "$(left)" -gt 1200 ]; then
     "40M R=64 base-variant evaluation (BASE40M_r05.json)"
 fi
 
-# ---- 2. DMA-tiled kernel probe (self-contained) ----
-if [ "$(left)" -gt 1400 ]; then
-  say "DMA tiled probe"
-  python scripts/watchdog_run.py --log /tmp/dma_tiled.log --stall 600 \
-    --max-restarts 1 --budget $(( $(left) - 240 > 1500 ? 1500 : $(left) - 240 )) -- \
-    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
-    || say "DMA probe failed"
-  commit_art DMA_TILED_r05.json \
-    "DMA-tiled frontier kernel TPU probe (DMA_TILED_r05.json)"
-fi
-
-# ---- 3. 1M headline bundle prebuild (cheap; unblocks bloom + driver) ----
+# ---- 2. 1M headline bundle prebuild (cheap; unblocks the DMA probe's
+#         e2e stage, bloom, and the driver's headline build) ----
 PB=bench_data/synth_v2_n1000000_d128_r64_m64_vamana
 if [ "$(left)" -gt 900 ] && [ ! -f "${PB}_gt.bin" ]; then
   say "1M bundle prebuild"
@@ -99,6 +89,17 @@ bench.build_bundle(
     1_000_000, 128, 64, 64, "vamana", 10_000, l_build=48, build_batch=4096)
 print("1M bundle built")
 PYEOF
+fi
+
+# ---- 3. DMA-tiled kernel probe (device-generated data + 1M e2e A/B) ----
+if [ "$(left)" -gt 1400 ]; then
+  say "DMA tiled probe"
+  python scripts/watchdog_run.py --log /tmp/dma_tiled.log --stall 600 \
+    --max-restarts 1 --budget $(( $(left) - 240 > 1800 ? 1800 : $(left) - 240 )) -- \
+    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
+    || say "DMA probe failed"
+  commit_art DMA_TILED_r05.json \
+    "DMA-tiled frontier kernel TPU probe (DMA_TILED_r05.json)"
 fi
 
 # ---- 4. bloom visited-mode A/B at the 1M headline point ----
