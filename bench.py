@@ -893,7 +893,27 @@ def main():
                 log(f"scale10m failed: {e}")
                 result["scale10m"] = {"error": str(e)}
         else:
-            log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
+            # tuned-only fallback: scripts/build_10m_tuned_direct.py builds
+            # the R=32/m=32 bundle standalone (same data/query/GT generator
+            # and seed as the R=64 source bundle, so the artifacts stay
+            # byte-compatible if the source is rebuilt later). Sweep it even
+            # when the source bundle is missing — after a bench_data wipe
+            # the tuned row is the scale-matched headline comparable.
+            pt = prefix_for("synth", 10_000_000, 128, 32, 32, "vamana")
+            if os.path.exists(pt + "_gt.bin"):
+                try:
+                    qt, gti, gtd = load_bundle(pt, Q)
+                    result["scale10m_tuned"] = sweep_variant(
+                        pt, "inmemory", qt, gti, gtd,
+                        grid=(14, 16, 20, 25, 30, 40, 60, 90),
+                    )
+                    del qt
+                    gc.collect()
+                except Exception as e:  # pragma: no cover
+                    log(f"scale10m_tuned failed: {e}")
+                    result["scale10m_tuned"] = {"error": str(e)}
+            else:
+                log("scale10m skipped (no cached index; set BENCH_BUILD_10M=1)")
 
     # ---- big base row: the reference's identity configuration ----
     # (runs before the breadth rows: with an R=64 graph this is the
