@@ -60,11 +60,13 @@ commit_art() {  # commit_art <file> <msg>
 # ---- 1. 40M base sweep (only if the bundle landed) ----
 if [ "$BUILD_OK" = 1 ] && [ "$(left)" -gt 1200 ]; then
   B=$(( $(left) - 900 )); [ "$B" -gt 3600 ] && B=3600
-  # R=64 DiskANN-quality degree: recall knee expected near L~100
+  # R=64 DiskANN-quality degree: recall knee expected near L~100; the grid
+  # is ascending and sweep_base stops at the first >=0.9 point, so longer
+  # grids only cost time in the miss case where they are needed
   PROBE=""
-  if [ "$(left)" -gt 5400 ]; then GRID="60 100 150 220"; PROBE="--probe-sampled-entry"
-  elif [ "$(left)" -gt 3600 ]; then GRID="60 100 150"
-  else GRID="100 150"; fi
+  if [ "$(left)" -gt 4500 ]; then GRID="60 100 150 220"; PROBE="--probe-sampled-entry"
+  elif [ "$(left)" -gt 3600 ]; then GRID="60 100 150 220"
+  else GRID="100 150 220"; fi
   say "BASE40M eval (budget ${B}s, grid $GRID $PROBE)"
   python scripts/watchdog_run.py --log /tmp/base40m_r05.log --stall 900 \
     --max-restarts 1 --budget "$B" -- \
@@ -74,6 +76,22 @@ if [ "$BUILD_OK" = 1 ] && [ "$(left)" -gt 1200 ]; then
       --out BASE40M_r05.json || say "BASE40M eval failed"
   commit_art BASE40M_r05.json \
     "40M R=64 base-variant evaluation (BASE40M_r05.json)"
+  # recall-miss fallback: push the last grid point with the recall knobs
+  # (wider beam, longer tail, sampled entries — bench.py's base tuned
+  # protocol) and record it as a separate artifact
+  RECALL=$(python -c "import json;print(json.load(open('BASE40M_r05.json')).get('recall',0))" 2>/dev/null || echo 0)
+  if [ -s BASE40M_r05.json ] && [ "$(left)" -gt 1500 ] \
+     && python -c "exit(0 if float('$RECALL') < 90.0 else 1)"; then
+    say "recall $RECALL < 90: beam-4/sampled fallback"
+    python scripts/watchdog_run.py --log /tmp/base40m_tuned.log --stall 900 \
+      --max-restarts 1 --budget $(( $(left) - 900 > 2400 ? 2400 : $(left) - 900 )) -- \
+      python -u scripts/run_eval.py --prefix "$P" --variant base \
+        --grid 300 --beam 4 --extra 48 --entry-mode sampled \
+        --note "r05 recall-push fallback (beam=4, extra=48, sampled entries)" \
+        --out BASE40M_TUNED_r05.json || say "fallback eval failed"
+    commit_art BASE40M_TUNED_r05.json \
+      "40M R=64 recall-push fallback eval (BASE40M_TUNED_r05.json)"
+  fi
 fi
 
 # ---- 2. 1M headline bundle prebuild (cheap; unblocks the DMA probe's
@@ -113,34 +131,27 @@ if [ "$(left)" -gt 800 ] && [ -f "${PB}_gt.bin" ]; then
     "Bloom visited-mode A/B at the 1M headline point (BLOOM_r05.json)"
 fi
 
-# ---- 5. 10M rebuild + tuned fused-R32 sweep (only when genuinely early) ----
-# Restores the scale-matched headline story (the reset wiped the 10M
-# bundles): source R=64/m=64 bundle (~43 min), tuned R=32/m=32 conversion
-# (warm-started), then the fused-R32 sweep the wiped chain_r5 queued.
-# With the bundles on disk, the driver's end-of-round bench also runs its
-# scale10m rows automatically.
-P10=bench_data/synth_v2_n10000000_d128_r64_m64_vamana
+# ---- 5. tuned-10M direct rebuild + fused-R32 sweep (when time allows) ----
+# Restores the scale-matched headline comparable (the reset wiped the 10M
+# bundles). Direct standalone build of the tuned R=32/m=32 bundle (~40 min,
+# scripts/build_10m_tuned_direct.py — same data/GT generator+seed as the
+# source-bundle path) instead of source(43min)+derive(25min). bench.py's
+# tuned-only fallback then lets the driver's end-of-round bench sweep it.
 PT=bench_data/synth_v2_n10000000_d128_r32_m32_vamana
-if [ "$(left)" -gt 6000 ] && [ ! -f "${P10}_gt.bin" ]; then
-  say "10M source build"
-  python scripts/watchdog_run.py --log /tmp/b10src.log --stall 900 \
-    --max-restarts 1 --budget $(( $(left) - 2400 )) -- \
-    python -u scripts/build_10m_source.py || say "10M source build failed"
-fi
-if [ "$(left)" -gt 2700 ] && [ -f "${P10}_gt.bin" ] && [ ! -f "${PT}_gt.bin" ]; then
-  say "10M tuned build"
+if [ "$(left)" -gt 3600 ] && [ ! -f "${PT}_gt.bin" ]; then
+  say "10M tuned direct build"
   python scripts/watchdog_run.py --log /tmp/b10tuned.log --stall 900 \
     --max-restarts 1 --budget $(( $(left) - 1500 )) -- \
-    python -u scripts/build_10m_tuned.py || say "10M tuned build failed"
+    python -u scripts/build_10m_tuned_direct.py || say "10M tuned build failed"
 fi
-if [ "$(left)" -gt 1500 ] && [ -f "${PT}_gt.bin" ]; then
+if [ "$(left)" -gt 1200 ] && [ -f "${PT}_gt.bin" ]; then
   say "SCALE10M fused eval"
   python scripts/watchdog_run.py --log /tmp/scale10m_fused.log --stall 900 \
     --max-restarts 1 --budget $(( $(left) - 600 > 1800 ? 1800 : $(left) - 600 )) -- \
     python -u scripts/run_eval.py \
-      --prefix "$PT" --queries-from "$P10" \
+      --prefix "$PT" \
       --variant inmemory --grid 25 30 40 60 --refine \
-      --note "r05 fused frontier rows at R=32 (_frontier_kernel_r32)" \
+      --note "r05 fused frontier rows at R=32 (_frontier_kernel_r32); direct-built tuned bundle (own queries/GT, same generator+seed as the source path)" \
       --out SCALE10M_FUSED_r05.json || say "scale10m fused failed"
   commit_art SCALE10M_FUSED_r05.json \
     "Tuned-10M re-sweep on fused R=32 frontier rows (SCALE10M_FUSED_r05.json)"
