@@ -109,6 +109,31 @@ print("1M bundle built")
 PYEOF
 fi
 
+# ---- 2b. breadth-row bundle prebuild (gist960 / glove-MIPS / spacev) ----
+# ~100K points each, minutes on TPU; with these cached the driver's
+# end-of-round bench spends its budget measuring instead of building
+if [ "$(left)" -gt 1800 ] && [ ! -f bench_data/spacev_v2_n100000_d100_r32_m50_pruned_gt.bin ]; then
+  say "breadth bundles prebuild"
+  timeout $(( $(left) - 1200 > 1500 ? 1500 : $(left) - 1200 )) \
+    python - >>"$LOG" 2>&1 <<'PYEOF' || say "breadth prebuild incomplete"
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np
+import bench
+for args, kw in (
+    ((bench.prefix_for("gist960", 100_000, 960, 32, 120, "pruned"),
+      100_000, 960, 32, 120, "pruned", 2048), {"dtype": np.float32}),
+    ((bench.prefix_for("glovemips", 100_000, 201, 32, 0, "pruned"),
+      100_000, 200, 32, 0, "pruned", 2048), {"dtype": np.float32, "mips": True}),
+    ((bench.prefix_for("spacev", 100_000, 100, 32, 50, "pruned"),
+      100_000, 100, 32, 50, "pruned", 2048), {"dtype": np.int8}),
+):
+    import os
+    if not os.path.exists(args[0] + "_gt.bin"):
+        bench.build_bundle(*args, **kw)
+        print("built", args[0])
+PYEOF
+fi
+
 # ---- 3. DMA-tiled kernel probe (device-generated data + 1M e2e A/B) ----
 if [ "$(left)" -gt 1400 ]; then
   say "DMA tiled probe"
