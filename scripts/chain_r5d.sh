@@ -109,31 +109,6 @@ print("1M bundle built")
 PYEOF
 fi
 
-# ---- 2b. breadth-row bundle prebuild (gist960 / glove-MIPS / spacev) ----
-# ~100K points each, minutes on TPU; with these cached the driver's
-# end-of-round bench spends its budget measuring instead of building
-if [ "$(left)" -gt 1800 ] && [ ! -f bench_data/spacev_v2_n100000_d100_r32_m50_pruned_gt.bin ]; then
-  say "breadth bundles prebuild"
-  timeout $(( $(left) - 1200 > 1500 ? 1500 : $(left) - 1200 )) \
-    python - >>"$LOG" 2>&1 <<'PYEOF' || say "breadth prebuild incomplete"
-import sys; sys.path.insert(0, "/root/repo")
-import numpy as np
-import bench
-for args, kw in (
-    ((bench.prefix_for("gist960", 100_000, 960, 32, 120, "pruned"),
-      100_000, 960, 32, 120, "pruned", 2048), {"dtype": np.float32}),
-    ((bench.prefix_for("glovemips", 100_000, 201, 32, 0, "pruned"),
-      100_000, 200, 32, 0, "pruned", 2048), {"dtype": np.float32, "mips": True}),
-    ((bench.prefix_for("spacev", 100_000, 100, 32, 50, "pruned"),
-      100_000, 100, 32, 50, "pruned", 2048), {"dtype": np.int8}),
-):
-    import os
-    if not os.path.exists(args[0] + "_gt.bin"):
-        bench.build_bundle(*args, **kw)
-        print("built", args[0])
-PYEOF
-fi
-
 # ---- 3. DMA-tiled kernel probe (device-generated data + 1M e2e A/B) ----
 if [ "$(left)" -gt 1400 ]; then
   say "DMA tiled probe"
@@ -180,6 +155,31 @@ if [ "$(left)" -gt 1200 ] && [ -f "${PT}_gt.bin" ]; then
       --out SCALE10M_FUSED_r05.json || say "scale10m fused failed"
   commit_art SCALE10M_FUSED_r05.json \
     "Tuned-10M re-sweep on fused R=32 frontier rows (SCALE10M_FUSED_r05.json)"
+fi
+
+# ---- 5b. breadth-row bundle prebuild (gist960 / glove-MIPS / spacev) ----
+# ~100K points each, minutes on TPU; with these cached the driver's
+# end-of-round bench spends its budget measuring instead of building
+if [ "$(left)" -gt 1700 ] && [ ! -f bench_data/spacev_v2_n100000_d100_r32_m50_pruned_gt.bin ]; then
+  say "breadth bundles prebuild"
+  timeout $(( $(left) - 1200 > 1500 ? 1500 : $(left) - 1200 )) \
+    python - >>"$LOG" 2>&1 <<'PYEOF' || say "breadth prebuild incomplete"
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np
+import bench
+for args, kw in (
+    ((bench.prefix_for("gist960", 100_000, 960, 32, 120, "pruned"),
+      100_000, 960, 32, 120, "pruned", 2048), {"dtype": np.float32}),
+    ((bench.prefix_for("glovemips", 100_000, 201, 32, 0, "pruned"),
+      100_000, 200, 32, 0, "pruned", 2048), {"dtype": np.float32, "mips": True}),
+    ((bench.prefix_for("spacev", 100_000, 100, 32, 50, "pruned"),
+      100_000, 100, 32, 50, "pruned", 2048), {"dtype": np.int8}),
+):
+    import os
+    if not os.path.exists(args[0] + "_gt.bin"):
+        bench.build_bundle(*args, **kw)
+        print("built", args[0])
+PYEOF
 fi
 
 # ---- 6. full builder bench (insurance; the driver reruns it after disarm) ----
