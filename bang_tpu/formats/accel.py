@@ -11,6 +11,7 @@ numpy. Ground truth uses full f32 precision; graph edges tolerate bf16.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +113,11 @@ def compute_groundtruth_jax(
         norms[s : s + n_chunk] = (v64 * v64).sum(-1)
     norms[n:] = np.inf  # padding rows can never enter the top-k
     norms_d = jnp.asarray(norms.reshape(n_chunks, n_chunk))
+    # heartbeat per query block: at N=10M the H2D (1.3 GB over a ~15 MB/s
+    # tunnel) plus the first block's compile run many minutes with zero
+    # output, which external stall watchdogs misread as a wedge
+    print(f"[gt] table staged ({n_pad * d / 1e9:.1f} GB, {n_chunks} chunks)",
+          file=sys.stderr, flush=True)
     for s in range(0, nq, block):
         q_blk = queries[s : s + block].astype(np.float32)
         nb = q_blk.shape[0]
@@ -120,6 +126,8 @@ def compute_groundtruth_jax(
         i, dd = _block_topk_chunked(jnp.asarray(q_blk), vecs, norms_d, k)
         ids[s : s + block] = np.asarray(i[:nb]).astype(np.uint32)
         dists[s : s + block] = np.asarray(dd[:nb])
+        print(f"[gt] block {s // block + 1}/{-(-nq // block)}",
+              file=sys.stderr, flush=True)
     return ids, dists
 
 

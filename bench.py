@@ -179,6 +179,11 @@ def build_bundle(
     log(f"building {os.path.basename(prefix)}: N={n} D={d} R={r} m={m} {graph}")
     n_clusters = max(64, min(4096, n // 1000))
     data = synthetic.make_clustered_data(n, d, n_clusters=n_clusters, dtype=dtype, seed=seed)
+    # heartbeat between the two quiet stages (host data gen, device GT): at
+    # 10M each runs minutes with no output, and a watchdog with a 600 s stall
+    # threshold kill-loops the build if the silence spans both (seen r5,
+    # 04:16-04:43 UTC: three launches, zero progress)
+    log(f"data generated {time.time()-t0:.0f}s")
 
     rng = np.random.default_rng(seed + 1)
     queries = data[rng.integers(0, n, n_queries)].astype(np.float32)

@@ -23,8 +23,6 @@ from bang_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-import jax
-
 import bench
 from bang_tpu.constants import BF_ENTRIES
 from bang_tpu.models.index import device_index_from_files
@@ -59,18 +57,33 @@ def main():
         params = SearchParams(
             L=L, k=K, beam_width=BEAM, extra_iters=EXTRA, visited_mode=mode
         )
-        ids, _d, _s = search_inmemory(index, queries, params)  # compile+warm
-        jax.block_until_ready(ids)
+        # NOTE: on the remote 'axon' platform block_until_ready is a no-op
+        # (bench.py:684) — the first committed BLOOM_r05 artifact timed the
+        # exact path at 0.3 ms/10K queries because of it. stats.sync() is a
+        # scalar device_get, the same completion barrier bench._measure_point
+        # uses, so these reps are comparable with the headline rows.
+        ids, _d, stats = search_inmemory(index, queries, params)  # compile+warm
+        stats.sync()
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            ids, _d, _s = search_inmemory(index, queries, params)
-            jax.block_until_ready(ids)
+            ids, _d, stats = search_inmemory(index, queries, params)
+            stats.sync()
             reps.append(time.perf_counter() - t0)
+        # steady-state pipelined throughput, same amortization as
+        # bench._measure_point (sync once per 6 dispatched batches)
+        n_pipe = 6
+        outs = [search_inmemory(index, queries, params) for _ in range(n_pipe)]
+        outs[-1][2].sync()
+        t0 = time.perf_counter()
+        outs = [search_inmemory(index, queries, params) for _ in range(n_pipe)]
+        outs[-1][2].sync()
+        qps_pipe = NQ / ((time.perf_counter() - t0) / n_pipe)
         recall = calculate_recall(gt_ids, np.asarray(ids), K, gt_dists)
         out[mode] = {
             "recall": round(recall, 2),
             "qps": round(NQ / min(reps), 1),
+            "qps_pipelined": round(qps_pipe, 1),
             "rep_s": [round(r, 4) for r in reps],
         }
         log(f"{mode}: recall={recall:.2f} qps={NQ / min(reps):,.0f}")

@@ -98,28 +98,55 @@ def sublane_probe(s, n=4096):
 
 
 # ---- on-device packers (no multi-GB H2D) ----
-@functools.partial(jax.jit, static_argnames=("s",), donate_argnums=())
-def pack_tiled_dev(adj, codes, s):
+# Chunked through a fori_loop: the single-shot version materialized the
+# codes[adj] gather ([N,R,m] u8), its swapaxes copy, AND the concat output
+# simultaneously (~16 GB at N=1.2M r=m=64 > 15.75 GB HBM) — the
+# RESOURCE_EXHAUSTED in the first committed DMA_TILED_r05 artifact. The loop
+# carry updates the output in place, so peak = output + one chunk's temps.
+@functools.partial(jax.jit, static_argnames=("s", "nchunks"))
+def pack_tiled_dev(adj, codes, s, nchunks=8):
     n, r = adj.shape
     m = codes.shape[1]
-    by = jax.lax.bitcast_convert_type(adj, jnp.uint8)  # [N, R, 4] LE
-    planes = jnp.swapaxes(by, 1, 2).reshape(n, 4 * r)
-    cm = jnp.swapaxes(codes[adj], 1, 2).reshape(n, m * r)
-    flat = jnp.concatenate(
-        [planes, cm,
-         jnp.zeros((n, s * 128 - 4 * r - m * r), jnp.uint8)], axis=1
+    assert n % nchunks == 0
+    chunk = n // nchunks
+
+    def body(i, out):
+        a = jax.lax.dynamic_slice_in_dim(adj, i * chunk, chunk, 0)
+        by = jax.lax.bitcast_convert_type(a, jnp.uint8)  # [chunk, R, 4] LE
+        planes = jnp.swapaxes(by, 1, 2).reshape(chunk, 4 * r)
+        cm = jnp.swapaxes(codes[a], 1, 2).reshape(chunk, m * r)
+        flat = jnp.concatenate(
+            [planes, cm,
+             jnp.zeros((chunk, s * 128 - 4 * r - m * r), jnp.uint8)], axis=1
+        )
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, flat.reshape(chunk, s, 128), i * chunk, 0
+        )
+
+    return jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((n, s, 128), jnp.uint8)
     )
-    return flat.reshape(n, s, 128)
 
 
-@jax.jit
-def pack_flat_dev(adj, codes):
+@functools.partial(jax.jit, static_argnames=("nchunks",))
+def pack_flat_dev(adj, codes, nchunks=8):
     n, r = adj.shape
     m = codes.shape[1]
-    by = jax.lax.bitcast_convert_type(adj, jnp.uint8)
-    planes = jnp.swapaxes(by, 1, 2).reshape(n, 4 * r)
-    cm = jnp.swapaxes(codes[adj], 1, 2).reshape(n, m * r)
-    return jnp.concatenate([planes, cm], axis=1)
+    assert n % nchunks == 0
+    chunk = n // nchunks
+
+    def body(i, out):
+        a = jax.lax.dynamic_slice_in_dim(adj, i * chunk, chunk, 0)
+        by = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        planes = jnp.swapaxes(by, 1, 2).reshape(chunk, 4 * r)
+        cm = jnp.swapaxes(codes[a], 1, 2).reshape(chunk, m * r)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, jnp.concatenate([planes, cm], axis=1), i * chunk, 0
+        )
+
+    return jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((n, (4 + m) * r), jnp.uint8)
+    )
 
 
 def frontier_stage(n=1_200_000, r=64, m=64, q=10_000, beam=2):
@@ -188,21 +215,34 @@ def exact_stage(n=800_000, r=64, d=128, q=10_000, beam=2):
     parents = jnp.asarray(rngn.integers(0, n - ITERS, (q, beam), np.int32))
     s = _dma_sublanes(8 * r + r * d)
 
-    @functools.partial(jax.jit, static_argnames=("s",))
-    def pack_exact_dev(adj, vecs, s):
+    @functools.partial(jax.jit, static_argnames=("s", "nchunks"))
+    def pack_exact_dev(adj, vecs, s, nchunks=8):
         nn, rr = adj.shape
+        assert nn % nchunks == 0
+        chunk = nn // nchunks
         v32 = vecs.astype(jnp.int32).astype(jnp.float32)
         norms = (v32 * v32).sum(-1)
-        by = jax.lax.bitcast_convert_type(adj, jnp.uint8)
-        planes = jnp.swapaxes(by, 1, 2).reshape(nn, 4 * rr)
-        nbby = jax.lax.bitcast_convert_type(
-            norms[adj].astype(jnp.float32), jnp.uint8
-        )  # [N, R, 4]
-        nplanes = jnp.swapaxes(nbby, 1, 2).reshape(nn, 4 * rr)
-        vrows = vecs[adj].reshape(nn, rr * d)
-        pad = jnp.zeros((nn, s * 128 - 8 * rr - rr * d), jnp.uint8)
-        return jnp.concatenate([planes, nplanes, vrows, pad], 1).reshape(
-            nn, s, 128
+
+        # chunked for the same HBM reason as pack_tiled_dev: the vecs[adj]
+        # gather alone is [N,R,D] u8 = 6.6 GB at N=800K, and the single-shot
+        # concat needs it plus the 7.4 GB output simultaneously
+        def body(i, out):
+            a = jax.lax.dynamic_slice_in_dim(adj, i * chunk, chunk, 0)
+            by = jax.lax.bitcast_convert_type(a, jnp.uint8)
+            planes = jnp.swapaxes(by, 1, 2).reshape(chunk, 4 * rr)
+            nbby = jax.lax.bitcast_convert_type(
+                norms[a].astype(jnp.float32), jnp.uint8
+            )  # [chunk, R, 4]
+            nplanes = jnp.swapaxes(nbby, 1, 2).reshape(chunk, 4 * rr)
+            vrows = vecs[a].reshape(chunk, rr * d)
+            pad = jnp.zeros((chunk, s * 128 - 8 * rr - rr * d), jnp.uint8)
+            flat = jnp.concatenate([planes, nplanes, vrows, pad], 1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, flat.reshape(chunk, s, 128), i * chunk, 0
+            )
+
+        return jax.lax.fori_loop(
+            0, nchunks, body, jnp.zeros((nn, s, 128), jnp.uint8)
         )
 
     tiled = pack_exact_dev(adj, vecs, s)
@@ -266,13 +306,15 @@ def e2e_stage(prefix="bench_data/synth_v2_n1000000_d128_r64_m64_vamana",
         else:
             index = build_device_index(graph=graph, pq=pq,
                                        fused_frontier="dma")
-        ids, _d, _s = search_inmemory(index, queries, params)  # compile+warm
-        jax.block_until_ready(ids)
+        # stats.sync() (scalar device_get) is the completion barrier — on the
+        # remote axon platform block_until_ready is a no-op (bench.py:684)
+        ids, _d, stats = search_inmemory(index, queries, params)  # warm
+        stats.sync()
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            ids, _d, _s = search_inmemory(index, queries, params)
-            jax.block_until_ready(ids)
+            ids, _d, stats = search_inmemory(index, queries, params)
+            stats.sync()
             reps.append(time.perf_counter() - t0)
         out[name] = {
             "recall": round(calculate_recall(gt_ids, np.asarray(ids), 10,
