@@ -1,0 +1,81 @@
+#!/bin/bash
+# Round-5 session-4 chain (written 05:35 UTC 2026-08-20).
+# State on entry: 1M + breadth bundles live; the tuned-10M (R=32/m=32)
+# rebuild is running under the stall watchdog (launched 05:28, heartbeats
+# now cover the quiet data-gen/GT stages so stall=1500 won't kill-loop).
+# This chain waits for that build, then lands the three measurement
+# artifacts the round still owes, cheapest-risk first:
+#   1. SCALE10M_TUNED_r05.json — the scale-matched headline row, now on
+#      the fused R=32 frontier path (auto layout; FUSED32_r05: 1.34x)
+#   2. BLOOM_r05.json re-run   — the committed artifact's exact row is
+#      bogus (unsynced async dispatch, 0.3 ms/10K); exp_bloom now syncs
+#   3. DMA_TILED_r05.json re-run — e2e stages OOMed; packers now chunked
+# Each stage commits its artifact on landing so a reset can't erase the
+# evidence. Everything stops at DEADLINE.
+set -u
+mkdir -p /tmp/tpu_pids; echo $$ > /tmp/tpu_pids/chain_r5f.pid
+cd /root/repo
+LOG=/tmp/chain_r5f.log
+DEADLINE=${CHAIN_R5F_DEADLINE:-$(date -d "2026-08-20 08:10:00 UTC" +%s)}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+say() { echo "[chainR5f] $1 $(date -u +%H:%M:%S) left=$(left)s" >>"$LOG"; }
+commit_art() {
+  if [ -s "$1" ]; then
+    git add "$1" && git commit -q -m "$2" && say "committed $1" \
+      || say "commit of $1 failed"
+  else
+    say "$1 missing/empty; not committed"
+  fi
+}
+say "start"
+
+# ---- 0. wait for the tuned-10M build (watchdog pid + bundle files) ----
+PT=bench_data/synth_v2_n10000000_d128_r32_m32_vamana
+BPID=$(cat /tmp/tpu_pids/build10m_r5g.pid 2>/dev/null || echo 0)
+while kill -0 "$BPID" 2>/dev/null && [ "$(left)" -gt 300 ]; do sleep 30; done
+if [ ! -f "${PT}_gt.bin" ]; then
+  say "tuned-10M bundle missing after build window; skipping its sweep"
+else
+  say "tuned-10M bundle present"
+  # ---- 1. tuned sweep on the fused R=32 auto layout ----
+  if [ ! -s SCALE10M_TUNED_r05.json ] && [ "$(left)" -gt 900 ]; then
+    say "tuned sweep"
+    B=$(( $(left) - 600 )); [ "$B" -gt 2400 ] && B=2400
+    python scripts/watchdog_run.py --log /tmp/tuned_sweep_r05.log \
+      --stall 900 --max-restarts 1 --budget "$B" -- \
+      python -u scripts/run_eval.py \
+        --prefix "$PT" --variant inmemory \
+        --grid 14 16 20 25 30 40 60 90 --refine \
+        --note "r05: fused R=32 frontier rows (auto layout), standalone bundle" \
+        --out SCALE10M_TUNED_r05.json \
+      || say "tuned sweep failed/budget"
+    commit_art SCALE10M_TUNED_r05.json \
+      "Tuned-10M sweep on the fused R=32 frontier path (SCALE10M_TUNED_r05.json)"
+  fi
+fi
+
+# ---- 2. bloom A/B re-run with real completion barriers ----
+PB=bench_data/synth_v2_n1000000_d128_r64_m64_vamana
+if [ -f "${PB}_gt.bin" ] && [ "$(left)" -gt 700 ]; then
+  say "bloom A/B rerun"
+  python scripts/watchdog_run.py --log /tmp/bloom_r05b.log --stall 420 \
+    --max-restarts 1 --budget $(( $(left) - 420 > 900 ? 900 : $(left) - 420 )) -- \
+    python -u scripts/exp_bloom.py /root/repo/BLOOM_r05.json \
+    || say "bloom rerun failed"
+  commit_art BLOOM_r05.json \
+    "Bloom visited-mode A/B rerun with synced timing (BLOOM_r05.json)"
+fi
+
+# ---- 3. DMA-tiled probe re-run with chunked packers ----
+if [ "$(left)" -gt 700 ]; then
+  say "DMA tiled probe rerun"
+  python scripts/watchdog_run.py --log /tmp/dma_tiled_b.log --stall 600 \
+    --max-restarts 1 --budget $(( $(left) - 120 > 1800 ? 1800 : $(left) - 120 )) -- \
+    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
+    || say "DMA probe rerun failed"
+  commit_art DMA_TILED_r05.json \
+    "DMA-tiled frontier probe rerun, chunked packers (DMA_TILED_r05.json)"
+fi
+
+say "chain done"
+rm -f /tmp/tpu_pids/chain_r5f.pid
