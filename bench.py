@@ -912,6 +912,21 @@ def main():
                         pt, "inmemory", qt, gti, gtd,
                         grid=(14, 16, 20, 25, 30, 40, 60, 90),
                     )
+                    # base row on the tuned bundle: without it the fallback
+                    # scoreboard would carry NO base-variant evidence — the
+                    # reference's identity configuration (host-RAM graph +
+                    # device PQ, bang_search.cu:569-1068). Same call shape
+                    # as the source-bundle base10m above.
+                    try:
+                        if over_budget("base10m"):
+                            raise RuntimeError("time budget")
+                        result["base10m"] = sweep_base(
+                            pt, np.asarray(jax.device_get(qt), np.float32),
+                            gti, gtd,
+                        )
+                    except Exception as e:  # pragma: no cover
+                        log(f"base10m failed: {e}")
+                        result["base10m"] = {"error": str(e)}
                     del qt
                     gc.collect()
                 except Exception as e:  # pragma: no cover
