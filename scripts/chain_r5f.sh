@@ -54,7 +54,21 @@ else
   fi
 fi
 
-# ---- 2. bloom A/B re-run with real completion barriers ----
+# ---- 2. DMA-tiled probe re-run with chunked packers ----
+# (before bloom: the DMA measurement is verdict item 2 — the committed
+# artifact's e2e stages OOMed and the kernel A/B is the round's missing
+# measurement; bloom only corrects an already-landed artifact's exact row)
+if [ "$(left)" -gt 700 ]; then
+  say "DMA tiled probe rerun"
+  python scripts/watchdog_run.py --log /tmp/dma_tiled_b.log --stall 600 \
+    --max-restarts 1 --budget $(( $(left) - 120 > 1800 ? 1800 : $(left) - 120 )) -- \
+    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
+    || say "DMA probe rerun failed"
+  commit_art DMA_TILED_r05.json \
+    "DMA-tiled frontier probe rerun, chunked packers (DMA_TILED_r05.json)"
+fi
+
+# ---- 3. bloom A/B re-run with real completion barriers ----
 PB=bench_data/synth_v2_n1000000_d128_r64_m64_vamana
 if [ -f "${PB}_gt.bin" ] && [ "$(left)" -gt 700 ]; then
   say "bloom A/B rerun"
@@ -64,17 +78,6 @@ if [ -f "${PB}_gt.bin" ] && [ "$(left)" -gt 700 ]; then
     || say "bloom rerun failed"
   commit_art BLOOM_r05.json \
     "Bloom visited-mode A/B rerun with synced timing (BLOOM_r05.json)"
-fi
-
-# ---- 3. DMA-tiled probe re-run with chunked packers ----
-if [ "$(left)" -gt 700 ]; then
-  say "DMA tiled probe rerun"
-  python scripts/watchdog_run.py --log /tmp/dma_tiled_b.log --stall 600 \
-    --max-restarts 1 --budget $(( $(left) - 120 > 1800 ? 1800 : $(left) - 120 )) -- \
-    python -u scripts/exp_dma_tiled.py /root/repo/DMA_TILED_r05.json \
-    || say "DMA probe rerun failed"
-  commit_art DMA_TILED_r05.json \
-    "DMA-tiled frontier probe rerun, chunked packers (DMA_TILED_r05.json)"
 fi
 
 say "chain done"
